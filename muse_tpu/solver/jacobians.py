@@ -1,0 +1,215 @@
+"""J and H estimators for the MUSE covariance.
+
+Ports of ``get_J!`` (reference ``src/muse.jl:484-532``) and ``get_H!``
+(``src/muse.jl:296-450``), with the reference's per-sim ``pmap`` pipelines
+re-expressed as single batched compiled calls:
+
+  * get_J: per-sim [sample at θ₀ → MAP warm-started from the TRUE z →
+    ∇θ logLike] runs as one lockstep batch; J is the corrected sample
+    covariance of the per-sim scores (src/muse.jl:529).  Incremental: only
+    ``nsims − len(result.gs)`` new sims run (src/muse.jl:499-506), and the
+    key array indexing reproduces the reference's
+    ``split_rng(rng, nsims)[existing+1:end]`` superset-prefix semantics.
+
+  * get_H finite-difference mode: sims × θ-columns × ±stencil all batch
+    into one solve (see ``CompiledProblem.h_fd``) — the lockstep answer to
+    the reference's pmap_over=:sims/:jac pool routing (src/muse.jl:329-333).
+    The FD step defaults to 0.1σ estimated from result.gs
+    (src/muse.jl:411-414), so run get_J first.
+
+  * get_H implicit-diff mode: jvp-over-grad jacobians + matrix-free CG
+    (src/muse.jl:335-405); CG residuals land in
+    ``result.metadata["implicit_diff_cg_resid"]`` (:405 analog).
+
+Per-sim fault tolerance: ``skip_errors=True`` drops failed lanes (NaN MAP
+or line-search stall) with a warning instead of raising — the masked-lane
+analog of the reference's ``missing`` + ``skipmissing`` (src/muse.jl:515-521).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import MuseProblem
+from ..result import MuseResult
+from ..theta import ThetaSpec
+from ..utils.keys import as_key, sim_keys
+from .compiled import CompiledProblem
+from .covariance import finalize_result
+
+__all__ = ["get_J", "get_H", "sample_covariance"]
+
+
+def sample_covariance(gs: np.ndarray) -> np.ndarray:
+    """Corrected sample covariance — ``SimpleCovariance(corrected=true)``
+    default (src/muse.jl:495,529)."""
+    return np.atleast_2d(np.cov(np.asarray(gs), rowvar=False, ddof=1))
+
+
+def _setup(result: MuseResult, problem: MuseProblem, theta0, key, dtype,
+           compiled: Optional[CompiledProblem]):
+    theta_start = theta0 if theta0 is not None else result.theta
+    if theta_start is None:
+        raise ValueError("θ₀ must be given (or present in result)")
+    spec = result._spec or ThetaSpec.from_example(theta_start, dtype=dtype)
+    result._spec = spec
+    result.theta_names = spec.names
+    th = np.asarray(spec.flatten(theta_start), np.float64)
+    if result.theta is None:
+        result.theta = th
+    key = as_key(key) if key is not None else (
+        result.key if result.key is not None else
+        __import__("jax").random.PRNGKey(0))
+    result.key = key
+    comp = compiled or CompiledProblem(problem, spec, th, dtype=dtype)
+    return spec, th, key, comp
+
+
+def get_J(
+    result: MuseResult,
+    problem: MuseProblem,
+    theta0=None,
+    *,
+    key=None,
+    nsims: int = 100,
+    grad_z_atol: float = 1e-2,
+    skip_errors: bool = False,
+    covariance_method=sample_covariance,
+    mesh=None,
+    dtype=jnp.float32,
+    compiled: Optional[CompiledProblem] = None,
+    progress: bool = False,
+) -> MuseResult:
+    """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``)."""
+    spec, th, key, comp = _setup(result, problem, theta0, key, dtype,
+                                 compiled)
+    nsims_existing = len(result.gs)
+    nsims_remaining = nsims - nsims_existing
+
+    if nsims_remaining > 0:
+        keys = sim_keys(key, nsims)[nsims_existing:]
+        if mesh is not None:
+            keys = mesh.shard_sims(keys)
+        out = comp.j_sims(keys, jnp.asarray(th, dtype),
+                          jnp.asarray(grad_z_atol, dtype))
+        g = np.asarray(out["g"], np.float64)
+        failed = np.asarray(out["failed"])
+        if failed.any():
+            if not skip_errors:
+                raise RuntimeError(
+                    f"get_J: {int(failed.sum())}/{failed.size} MAP solves "
+                    "failed; pass skip_errors=True to drop them.")
+            warnings.warn(f"get_J: dropping {int(failed.sum())} failed sims")
+            g = g[~failed]
+        result.gs.extend(list(g))
+
+    gs = np.asarray(result.gs)
+    result.J = (np.atleast_2d(np.var(gs, ddof=1)) if gs.shape[1] == 1
+                and gs.ndim == 2 else covariance_method(gs))
+    finalize_result(result, comp)
+    return result
+
+
+def get_H(
+    result: MuseResult,
+    problem: MuseProblem,
+    theta0=None,
+    *,
+    key=None,
+    nsims: int = 10,
+    grad_z_atol: float = 1e-2,
+    step=None,
+    fd_order: int = 2,
+    skip_errors: bool = False,
+    implicit_diff: bool = False,
+    implicit_diff_H1_is_zero: bool = False,
+    implicit_diff_cg_maxiter: int = 100,
+    implicit_diff_cg_tol: float = 1e-6,
+    implicit_fit_atol: float = 1e-1,
+    mesh=None,
+    dtype=jnp.float32,
+    compiled: Optional[CompiledProblem] = None,
+    progress: bool = False,
+) -> MuseResult:
+    """Mean Jacobian of the MAP score wrt the sim-generation θ (``get_H!``).
+
+    ``fd_order=2`` is plain central differences; the reference's adaptive
+    ``central_fdm(3,1)`` has no JAX analog, but its role (controlling FD
+    truncation error) is covered by the 0.1σ default step plus the
+    implicit-diff mode, which is exact and is the recommended mode here.
+    """
+    spec, th, key, comp = _setup(result, problem, theta0, key, dtype,
+                                 compiled)
+    ntheta = th.shape[0]
+    nsims_existing = len(result.Hs)
+    nsims_remaining = nsims - nsims_existing
+    if nsims_remaining <= 0:
+        _reduce_H(result, comp)
+        return result
+
+    keys = sim_keys(key, nsims, salt=1)[nsims_existing:]
+
+    if implicit_diff:
+        Hs, resid = comp.h_implicit(
+            keys, jnp.asarray(th, dtype), jnp.asarray(implicit_fit_atol,
+                                                      dtype),
+            implicit_diff_cg_maxiter, implicit_diff_cg_tol,
+            implicit_diff_H1_is_zero)
+        Hs = np.asarray(Hs, np.float64)
+        bad = ~np.isfinite(Hs).all(axis=(1, 2))
+        if bad.any():
+            if not skip_errors:
+                raise RuntimeError(
+                    f"get_H: {int(bad.sum())}/{bad.size} implicit-diff sims "
+                    "produced non-finite H; pass skip_errors=True.")
+            warnings.warn(f"get_H: dropping {int(bad.sum())} failed sims")
+            Hs = Hs[~bad]
+        result.Hs.extend(list(Hs))
+        result.metadata.setdefault("implicit_diff_cg_resid", []).extend(
+            list(np.asarray(resid)))
+    else:
+        # FD step ≈ 0.1σ from the J sims (src/muse.jl:411-414)
+        if step is None:
+            if not result.gs:
+                raise ValueError(
+                    "get_H: no `step` given and result.gs is empty — run "
+                    "get_J first (the reference's recommendation, "
+                    "src/muse.jl:284-286) or pass `step` explicitly.")
+            step = 0.1 / np.std(np.asarray(result.gs), axis=0, ddof=1)
+        step = np.broadcast_to(np.asarray(step, np.float64), (ntheta,))
+
+        # fiducial fits: warm starts for every FD evaluation
+        # (src/muse.jl:417-423; the reference's rngs-shadowing quirk is
+        # intentionally NOT replicated — each sim uses its own key)
+        fid = comp.h_fiducial(keys, jnp.asarray(th, dtype),
+                              jnp.asarray(grad_z_atol, dtype))
+        out = comp.h_fd(keys, jnp.asarray(th, dtype),
+                        jnp.asarray(step, dtype), fid["Z"],
+                        jnp.asarray(grad_z_atol, dtype))
+        g = np.asarray(out["g"], np.float64)   # (nsims, nθ, 2, nθ)
+        # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
+        Hs = (g[:, :, 0, :] - g[:, :, 1, :]) / (2.0 * step[None, :, None])
+        Hs = np.swapaxes(Hs, 1, 2)             # → (nsims, nθ rows, nθ cols)
+        failed = np.asarray(out["failed"]).any(axis=(1, 2))
+        bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
+        if bad.any():
+            if not skip_errors:
+                raise RuntimeError(
+                    f"get_H: {int(bad.sum())}/{bad.size} FD sims failed; "
+                    "pass skip_errors=True to drop them.")
+            warnings.warn(f"get_H: dropping {int(bad.sum())} failed sims")
+            Hs = Hs[~bad]
+        result.Hs.extend(list(Hs))
+
+    _reduce_H(result, comp)
+    return result
+
+
+def _reduce_H(result: MuseResult, comp: CompiledProblem):
+    if result.Hs:
+        result.H = np.mean(np.asarray(result.Hs, np.float64), axis=0)
+    finalize_result(result, comp)

@@ -1,0 +1,264 @@
+"""The MUSE solver — outer quasi-Newton root-finder on the MUSE score.
+
+Port of ``muse``/``muse!`` (reference ``src/muse.jl:61-250``), re-designed
+for the TPU execution model: all per-simulation work for an iteration is a
+single compiled device step (``CompiledProblem.muse_step``); the remaining
+per-iteration math — score assembly, H⁻¹ estimation (sims-variance or
+Broyden replay), damped Newton step, convergence test — is tiny dense
+linear algebra over θ, done on the host in float64 exactly as the reference
+does it on the master process.
+
+Feature parity checklist vs ``muse!``:
+  * α step size, constant or schedule ``i -> α``        (src/muse.jl:145-149)
+  * warm-started MAP solves across iterations            (:151, :181)
+  * common random numbers: fixed per-sim key array       (:169 + util.jl:87-92)
+  * score in transformed space, sims-mean subtraction    (:183-185)
+  * H⁻¹_like′ via sims variance / :broyden /
+    :diagonal_broyden with ``broyden_memory``            (:188-205)
+  * H⁻¹_post′ = inv(inv(H⁻¹_like′) + H_prior′)           (:207-208)
+  * θ_rtol convergence in the H⁻¹_post′ metric           (:163-165)
+  * per-iteration history diagnostics + save_maps        (:211-221)
+  * regularize hook                                      (:226)
+  * checkpoint after every iteration, resume from
+    ``len(result.history)``                              (:234, :159)
+  * get_covariance ⇒ get_J(nsims) + get_H(nsims//10)     (:244-247)
+"""
+
+from __future__ import annotations
+
+import math
+import time as _time
+from typing import Any, Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import MuseProblem
+from ..result import MuseResult
+from ..theta import ThetaSpec
+from ..utils.keys import as_key, sim_keys
+from ..utils.progress import ProgressReporter
+from .compiled import CompiledProblem
+
+__all__ = ["muse", "muse_fit"]
+
+
+def muse(problem: MuseProblem, theta0, **kwargs) -> MuseResult:
+    """One-shot MUSE estimate (``muse`` wrapper, src/muse.jl:107)."""
+    return muse_fit(MuseResult(), problem, theta0, **kwargs)
+
+
+def muse_fit(
+    result: MuseResult,
+    problem: MuseProblem,
+    theta0=None,
+    *,
+    key=None,
+    z0=None,
+    maxsteps: int = 50,
+    theta_rtol: float = 1e-1,
+    grad_z_atol: float = 1e-2,
+    nsims: int = 100,
+    alpha: Union[float, Callable[[int], float]] = 0.7,
+    progress: bool = False,
+    regularize: Optional[Callable] = None,
+    Hinv_like=None,
+    Hinv_update: str = "sims",
+    broyden_memory: float = math.inf,
+    checkpoint_file: Optional[str] = None,
+    get_covariance: bool = False,
+    save_maps=False,
+    mesh=None,
+    dtype=jnp.float32,
+    compiled: Optional[CompiledProblem] = None,
+) -> MuseResult:
+    """Run/resume the MUSE iteration on ``result`` (``muse!`` analog).
+
+    Args mirror the reference's keywords (src/muse.jl:112-131):
+      theta_rtol   — ``θ_rtol``; grad_z_atol — ``∇z_logLike_atol``;
+      Hinv_update  — "sims" | "broyden" | "diagonal_broyden";
+      mesh         — optional :class:`muse_tpu.parallel.SimsMesh` to shard
+                     the sims axis across devices (the worker-``pool``
+                     analog, src/muse.jl:124).
+    """
+    if Hinv_update not in ("sims", "broyden", "diagonal_broyden"):
+        raise ValueError(f"invalid Hinv_update={Hinv_update!r}")
+
+    # --- rng / θ bookkeeping (src/muse.jl:134-136) ---
+    result.key = key = as_key(key) if key is not None else (
+        result.key if result.key is not None else jax.random.PRNGKey(0))
+
+    theta_start = result.theta if result.theta is not None else theta0
+    if theta_start is None:
+        raise ValueError("θ₀ must be given (or present in result)")
+    spec = ThetaSpec.from_example(
+        theta_start if result.theta is None else _as_np(theta_start),
+        dtype=dtype)
+    result._spec = spec
+    result.theta_names = spec.names
+
+    th = np.asarray(spec.flatten(theta_start), np.float64)
+
+    comp = compiled or CompiledProblem(problem, spec, th, dtype=dtype)
+    th_t = np.asarray(comp.transform(jnp.asarray(th, dtype)), np.float64)
+    th_unreg, th_t_unreg = th.copy(), th_t.copy()
+
+    alpha_fn = alpha if callable(alpha) else (lambda i, a=alpha: a)
+    if save_maps is True:
+        save_maps = lambda z: np.asarray(z)
+    elif save_maps is False:
+        save_maps = lambda z: None
+
+    keys = sim_keys(key, nsims)
+    history = result.history
+
+    # warm-start cache: (nsims+1, nz); lane 0 = data (src/muse.jl:151)
+    if z0 is not None:
+        z0_flat = jnp.asarray(spec_flatten_z(comp, z0), dtype)
+    else:
+        z0_flat = jnp.zeros((comp.nz,), dtype)
+    Z = jnp.broadcast_to(z0_flat, (nsims + 1, comp.nz))
+
+    if mesh is not None:
+        keys = mesh.shard_sims(keys)
+        Z = mesh.shard_sims(Z)
+
+    pbar = ProgressReporter(maxsteps - len(history), "MUSE",
+                            enabled=progress)
+
+    try:
+        for i in range(len(history) + 1, maxsteps + 1):
+            t0 = _time.perf_counter()
+
+            # convergence check (src/muse.jl:163-165)
+            if i > 2:
+                dth_t = history[-1]["theta_t"] - history[-2]["theta_t"]
+                metric = -dth_t @ history[-1]["Hinv_post_t"] @ dth_t
+                if math.sqrt(max(metric, 0.0)) < theta_rtol:
+                    break
+
+            out = comp.muse_step(jnp.asarray(th, dtype),
+                                 jnp.asarray(th_t, dtype),
+                                 keys, Z,
+                                 jnp.asarray(grad_z_atol, dtype))
+            Z = out["Z"]
+            g = np.asarray(out["g"], np.float64)        # (nsims+1, nθ)
+            g_t = np.asarray(out["g_t"], np.float64)
+            g_dat, g_sims = g[0], g[1:]
+            g_dat_t, g_sims_t = g_t[0], g_t[1:]
+
+            # the MUSE score (src/muse.jl:183-185)
+            g_like_t = g_dat_t - g_sims_t.mean(axis=0)
+            g_prior_t = np.asarray(
+                comp.prior_grad_t(jnp.asarray(th_t, dtype)), np.float64)
+            g_post_t = g_like_t + g_prior_t
+
+            # H⁻¹ via sims variance / Broyden replay (src/muse.jl:188-205)
+            var_sims = g_sims_t.var(axis=0, ddof=1)
+            Hinv_like_sims = np.diag(-1.0 / var_sims)
+            if Hinv_like is None or Hinv_update == "sims":
+                Hinv_like = Hinv_like_sims
+            elif i > 2 and Hinv_update in ("broyden", "diagonal_broyden"):
+                j0 = int(max(2, i - broyden_memory))
+                Hinv_like = history[j0 - 2]["Hinv_like_sims_t"]
+                for j in range(j0, i):
+                    hj, hjm1 = history[j - 1], history[j - 2]
+                    dth = hj["theta_t"] - hjm1["theta_t"]
+                    dg = hj["g_like_t"] - hjm1["g_like_t"]
+                    Hdg = Hinv_like @ dg
+                    denom = dth @ Hdg
+                    Hinv_like = Hinv_like + np.outer(
+                        (dth - Hdg) / denom, dth @ Hinv_like)
+                    if Hinv_update == "diagonal_broyden":
+                        Hinv_like = np.diag(np.diag(Hinv_like))
+
+            H_prior_t = np.atleast_2d(np.asarray(
+                comp.prior_hess_t(jnp.asarray(th_t, dtype)), np.float64))
+            Hinv_post = np.linalg.inv(
+                np.linalg.inv(Hinv_like) + H_prior_t)
+
+            t = _time.perf_counter() - t0
+            history.append({
+                "theta": th.copy(), "theta_unreg": th_unreg.copy(),
+                "theta_t": th_t.copy(), "theta_t_unreg": th_t_unreg.copy(),
+                "g_like_sims": g_sims, "g_like_dat_t": g_dat_t,
+                "g_like_sims_t": g_sims_t, "g_like_t": g_like_t,
+                "g_prior_t": g_prior_t, "g_post_t": g_post_t,
+                "Hinv_post_t": Hinv_post, "H_prior_t": H_prior_t,
+                "Hinv_like_t": Hinv_like,
+                "Hinv_like_sims_t": Hinv_like_sims,
+                "map_converged": np.asarray(out["converged"]),
+                "map_failed": np.asarray(out["failed"]),
+                "map_iterations": np.asarray(out.get("iterations", 0)),
+                "t": t,
+                "zhat_dat": save_maps(np.asarray(Z[0])),
+            })
+            _warn_maps(out, i)
+
+            # damped Newton step (src/muse.jl:223-227)
+            a = alpha_fn(i)
+            th_t_unreg = th_t - a * (Hinv_post @ g_post_t)
+            th_unreg = np.asarray(
+                comp.inv_transform(jnp.asarray(th_t_unreg, dtype)),
+                np.float64)
+            th_t = (np.asarray(regularize(th_t_unreg), np.float64)
+                    if regularize is not None else th_t_unreg)
+            th = np.asarray(
+                comp.inv_transform(jnp.asarray(th_t, dtype)), np.float64)
+
+            # running updates for early stop (src/muse.jl:230-232)
+            result.theta = th_unreg
+            result.gs = [gi for gi in g_sims]
+            result.time += t
+
+            pbar.step(f"θ={_fmt(th_unreg)}  |g_post|={np.max(np.abs(g_post_t)):.3g}")
+
+            if checkpoint_file is not None:
+                result.save(checkpoint_file)
+    finally:
+        pbar.close()
+
+    if get_covariance:
+        from .jacobians import get_H, get_J
+        get_J(result, problem, key=key, nsims=nsims,
+              grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
+              compiled=comp, progress=progress)
+        get_H(result, problem, key=key, nsims=max(1, nsims // 10),
+              grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
+              compiled=comp, progress=progress)
+    return result
+
+
+def spec_flatten_z(comp: CompiledProblem, z) -> np.ndarray:
+    from jax.flatten_util import ravel_pytree
+    zf, _ = ravel_pytree(z)
+    return np.asarray(zf)
+
+
+def _warn_maps(out, i):
+    import warnings
+    failed = np.asarray(out["failed"])
+    if failed.any():
+        warnings.warn(
+            f"MUSE iteration {i}: {int(failed.sum())}/{failed.size} latent "
+            "MAP solves failed (NaN or line-search stall); their lanes were "
+            "frozen. Result may be affected — consider adjusting θ₀ or "
+            "grad_z_atol.")
+    conv = np.asarray(out["converged"])
+    if not conv.all() and not failed.any():
+        warnings.warn(
+            f"MUSE iteration {i}: {int((~conv).sum())}/{conv.size} MAP "
+            "solves did not converge within tolerance; result could be "
+            "erroneous (same caveat as reference src/interface.jl:168-171).")
+
+
+def _fmt(th):
+    th = np.atleast_1d(th)
+    if th.size <= 4:
+        return "[" + ", ".join(f"{v:.4g}" for v in th) + "]"
+    return f"[{th[0]:.4g}, …×{th.size}]"
+
+
+def _as_np(x):
+    return np.asarray(x)
