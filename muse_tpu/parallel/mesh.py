@@ -51,12 +51,25 @@ class SimsMesh:
             return NamedSharding(self.mesh, P(self.sims_axis, self.field_axis))
         return NamedSharding(self.mesh, P(self.sims_axis))
 
-    def shard_sims(self, arr, field: bool = False):
-        """Place a batched array with its lane axis sharded over devices.
+    def pad_count(self, b: int) -> int:
+        """Extra lanes needed to make ``b`` divide the sims axis."""
+        return (-b) % self.n_sims_shards
 
-        Lane counts need not divide the mesh — GSPMD pads shards internally,
-        so ``nsims+1`` lanes on an 8-way mesh is fine."""
+    def pad_lanes(self, arr):
+        """Pad the lane axis to a multiple of the mesh by repeating the
+        last lane (padded lanes compute real-but-discarded work; callers
+        slice outputs back to the true lane count host-side)."""
         arr = jnp.asarray(arr)
+        pad = self.pad_count(arr.shape[0])
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
+        return arr
+
+    def shard_sims(self, arr, field: bool = False):
+        """Pad the lane axis to the mesh size and place it sharded over
+        devices (jax requires divisible lane counts for NamedSharding)."""
+        arr = self.pad_lanes(arr)
         return jax.device_put(
             arr, self.sims_sharding(extra_field_dim=field and arr.ndim >= 2))
 

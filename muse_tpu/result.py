@@ -39,6 +39,9 @@ class MuseResult:
     metadata: Dict = dataclasses.field(default_factory=dict)
     key: Any = None              # PRNG key used for sims (``rng`` analog)
     time: float = 0.0            # cumulative seconds
+    # user-structured θ example (scalar/dict/pytree of numpy) — lets a
+    # loaded result rebuild its ThetaSpec so resume preserves θ structure
+    theta_struct: Any = None
     # θ structure bookkeeping (ComponentArrays-label analog); set by solver.
     theta_names: tuple = ()
     _spec: Any = None            # ThetaSpec (not required after load)

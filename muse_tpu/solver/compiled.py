@@ -128,12 +128,21 @@ class CompiledProblem:
         fixed per-sim keys (CRN).  Output per-lane θ-gradients in both
         spaces + new warm starts + MAP diagnostics (src/muse.jl:169-181).
         """
-        def step(th, th_t, keys, Z_prev, atol):
-            xs_sims, _ = jax.vmap(self._sample_flat, in_axes=(0, None))(
-                keys, th)
-            xs = jax.tree.map(
-                lambda o, s: jnp.concatenate([o[None].astype(s.dtype), s]),
-                self.x_obs, xs_sims)
+        def step(th, th_t, keys_all, Z_prev, atol):
+            # keys_all has one key per lane; lane 0's sample is replaced by
+            # the observed data (the ``[nothing; split_rng(...)]`` layout,
+            # src/muse.jl:169-170).  Sampling lane 0 anyway keeps every
+            # lane identical in shape/work — a prerequisite for lockstep
+            # batching and uniform mesh sharding.
+            xs_all, _ = jax.vmap(self._sample_flat, in_axes=(0, None))(
+                keys_all, th)
+            lane = jnp.arange(Z_prev.shape[0])
+
+            def mix(o, s):
+                m = (lane == 0).reshape((-1,) + (1,) * (s.ndim - 1))
+                return jnp.where(m, o[None].astype(s.dtype), s)
+
+            xs = jax.tree.map(mix, self.x_obs, xs_all)
             Z, aux = self._solve_maps(xs, Z_prev, th, atol)
             g = jax.vmap(lambda x, z: jax.grad(
                 lambda t: self._ll(x, z, t))(th))(xs, Z)

@@ -55,12 +55,13 @@ def _setup(result: MuseResult, problem: MuseProblem, theta0, key, dtype,
     theta_start = theta0 if theta0 is not None else result.theta
     if theta_start is None:
         raise ValueError("θ₀ must be given (or present in result)")
-    spec = result._spec or ThetaSpec.from_example(theta_start, dtype=dtype)
-    result._spec = spec
-    result.theta_names = spec.names
+    from .muse import resolve_spec
+    spec = resolve_spec(result, theta_start, dtype)
     th = np.asarray(spec.flatten(theta_start), np.float64)
     if result.theta is None:
         result.theta = th
+    if result.theta_struct is None:
+        result.theta_struct = spec.to_user(th)
     key = as_key(key) if key is not None else (
         result.key if result.key is not None else
         __import__("jax").random.PRNGKey(0))
@@ -96,8 +97,8 @@ def get_J(
             keys = mesh.shard_sims(keys)
         out = comp.j_sims(keys, jnp.asarray(th, dtype),
                           jnp.asarray(grad_z_atol, dtype))
-        g = np.asarray(out["g"], np.float64)
-        failed = np.asarray(out["failed"])
+        g = np.asarray(out["g"], np.float64)[:nsims_remaining]
+        failed = np.asarray(out["failed"])[:nsims_remaining]
         if failed.any():
             if not skip_errors:
                 raise RuntimeError(
@@ -152,6 +153,8 @@ def get_H(
         return result
 
     keys = sim_keys(key, nsims, salt=1)[nsims_existing:]
+    if mesh is not None:
+        keys = mesh.shard_sims(keys)
 
     if implicit_diff:
         Hs, resid = comp.h_implicit(
@@ -159,7 +162,7 @@ def get_H(
                                                       dtype),
             implicit_diff_cg_maxiter, implicit_diff_cg_tol,
             implicit_diff_H1_is_zero)
-        Hs = np.asarray(Hs, np.float64)
+        Hs = np.asarray(Hs, np.float64)[:nsims_remaining]
         bad = ~np.isfinite(Hs).all(axis=(1, 2))
         if bad.any():
             if not skip_errors:
@@ -170,7 +173,7 @@ def get_H(
             Hs = Hs[~bad]
         result.Hs.extend(list(Hs))
         result.metadata.setdefault("implicit_diff_cg_resid", []).extend(
-            list(np.asarray(resid)))
+            list(np.asarray(resid)[:nsims_remaining]))
     else:
         # FD step ≈ 0.1σ from the J sims (src/muse.jl:411-414)
         if step is None:
@@ -190,11 +193,11 @@ def get_H(
         out = comp.h_fd(keys, jnp.asarray(th, dtype),
                         jnp.asarray(step, dtype), fid["Z"],
                         jnp.asarray(grad_z_atol, dtype))
-        g = np.asarray(out["g"], np.float64)   # (nsims, nθ, 2, nθ)
+        g = np.asarray(out["g"], np.float64)[:nsims_remaining]  # (nsims, nθ, 2, nθ)
         # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
         Hs = (g[:, :, 0, :] - g[:, :, 1, :]) / (2.0 * step[None, :, None])
         Hs = np.swapaxes(Hs, 1, 2)             # → (nsims, nθ rows, nθ cols)
-        failed = np.asarray(out["failed"]).any(axis=(1, 2))
+        failed = np.asarray(out["failed"])[:nsims_remaining].any(axis=(1, 2))
         bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
         if bad.any():
             if not skip_errors:

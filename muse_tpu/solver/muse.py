@@ -49,6 +49,21 @@ def muse(problem: MuseProblem, theta0, **kwargs) -> MuseResult:
     return muse_fit(MuseResult(), problem, theta0, **kwargs)
 
 
+def resolve_spec(result: MuseResult, theta_start, dtype) -> ThetaSpec:
+    """Rebuild/attach the θ structure spec: prefer the live spec, then the
+    checkpointed user structure (so a loaded result resumes with the
+    original θ pytree, not a flat vector), then the given θ₀."""
+    if result._spec is not None:
+        spec = result._spec
+    elif result.theta_struct is not None:
+        spec = ThetaSpec.from_example(result.theta_struct, dtype=dtype)
+    else:
+        spec = ThetaSpec.from_example(theta_start, dtype=dtype)
+    result._spec = spec
+    result.theta_names = spec.names
+    return spec
+
+
 def muse_fit(
     result: MuseResult,
     problem: MuseProblem,
@@ -92,13 +107,10 @@ def muse_fit(
     theta_start = result.theta if result.theta is not None else theta0
     if theta_start is None:
         raise ValueError("θ₀ must be given (or present in result)")
-    spec = ThetaSpec.from_example(
-        theta_start if result.theta is None else _as_np(theta_start),
-        dtype=dtype)
-    result._spec = spec
-    result.theta_names = spec.names
+    spec = resolve_spec(result, theta_start, dtype)
 
     th = np.asarray(spec.flatten(theta_start), np.float64)
+    result.theta_struct = spec.to_user(th)
 
     comp = compiled or CompiledProblem(problem, spec, th, dtype=dtype)
     th_t = np.asarray(comp.transform(jnp.asarray(th, dtype)), np.float64)
@@ -110,19 +122,24 @@ def muse_fit(
     elif save_maps is False:
         save_maps = lambda z: None
 
-    keys = sim_keys(key, nsims)
     history = result.history
+
+    # per-lane keys: lane 0 is the data lane (its sample is masked out in
+    # favor of x_obs inside muse_step), lanes 1.. are the fixed CRN sims
+    B = nsims + 1
+    dummy = jax.random.fold_in(as_key(key), 2 ** 31 - 1)
+    keys_all = jnp.concatenate([dummy[None], sim_keys(key, nsims)])
 
     # warm-start cache: (nsims+1, nz); lane 0 = data (src/muse.jl:151)
     if z0 is not None:
         z0_flat = jnp.asarray(spec_flatten_z(comp, z0), dtype)
     else:
         z0_flat = jnp.zeros((comp.nz,), dtype)
-    Z = jnp.broadcast_to(z0_flat, (nsims + 1, comp.nz))
+    Z = jnp.broadcast_to(z0_flat, (B, comp.nz))
 
     if mesh is not None:
-        keys = mesh.shard_sims(keys)
-        Z = mesh.shard_sims(Z)
+        keys_all = mesh.shard_sims(keys_all)
+        Z = mesh.shard_sims(Z, field=True)
 
     pbar = ProgressReporter(maxsteps - len(history), "MUSE",
                             enabled=progress)
@@ -140,11 +157,11 @@ def muse_fit(
 
             out = comp.muse_step(jnp.asarray(th, dtype),
                                  jnp.asarray(th_t, dtype),
-                                 keys, Z,
+                                 keys_all, Z,
                                  jnp.asarray(grad_z_atol, dtype))
             Z = out["Z"]
-            g = np.asarray(out["g"], np.float64)        # (nsims+1, nθ)
-            g_t = np.asarray(out["g_t"], np.float64)
+            g = np.asarray(out["g"], np.float64)[:B]    # (nsims+1, nθ)
+            g_t = np.asarray(out["g_t"], np.float64)[:B]
             g_dat, g_sims = g[0], g[1:]
             g_dat_t, g_sims_t = g_t[0], g_t[1:]
 
@@ -188,13 +205,14 @@ def muse_fit(
                 "Hinv_post_t": Hinv_post, "H_prior_t": H_prior_t,
                 "Hinv_like_t": Hinv_like,
                 "Hinv_like_sims_t": Hinv_like_sims,
-                "map_converged": np.asarray(out["converged"]),
-                "map_failed": np.asarray(out["failed"]),
-                "map_iterations": np.asarray(out.get("iterations", 0)),
+                "map_converged": np.asarray(out["converged"])[:B],
+                "map_failed": np.asarray(out["failed"])[:B],
+                "map_iterations": np.atleast_1d(
+                    np.asarray(out.get("iterations", 0)))[:B],
                 "t": t,
                 "zhat_dat": save_maps(np.asarray(Z[0])),
             })
-            _warn_maps(out, i)
+            _warn_maps(out, i, B)
 
             # damped Newton step (src/muse.jl:223-227)
             a = alpha_fn(i)
@@ -236,16 +254,16 @@ def spec_flatten_z(comp: CompiledProblem, z) -> np.ndarray:
     return np.asarray(zf)
 
 
-def _warn_maps(out, i):
+def _warn_maps(out, i, b=None):
     import warnings
-    failed = np.asarray(out["failed"])
+    failed = np.asarray(out["failed"])[:b]
     if failed.any():
         warnings.warn(
             f"MUSE iteration {i}: {int(failed.sum())}/{failed.size} latent "
             "MAP solves failed (NaN or line-search stall); their lanes were "
             "frozen. Result may be affected — consider adjusting θ₀ or "
             "grad_z_atol.")
-    conv = np.asarray(out["converged"])
+    conv = np.asarray(out["converged"])[:b]
     if not conv.all() and not failed.any():
         warnings.warn(
             f"MUSE iteration {i}: {int((~conv).sum())}/{conv.size} MAP "

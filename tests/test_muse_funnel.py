@@ -1,0 +1,159 @@
+"""End-to-end statistical tests on the noisy funnel — the reference's test
+strategy (test/runtests.jl: full muse+J+H pipeline, assert θ̂/σ < 2) plus
+stronger analytic oracles the reference lacks (SURVEY §4 implication)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_tpu import (MuseResult, check_self_consistency, get_H, get_J,
+                      muse, muse_fit)
+from muse_tpu.models import funnel_problem, vector_funnel_problem, \
+    funnel_analytic_H
+
+DIM = 128
+NSIMS = 50
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return funnel_problem(DIM, theta_true=0.0,
+                          data_key=jax.random.PRNGKey(42))
+
+
+@pytest.fixture(scope="module")
+def fitted(prob):
+    return muse(prob, 1.0, nsims=NSIMS, maxsteps=30, get_covariance=True,
+                key=jax.random.PRNGKey(1))
+
+
+def test_self_consistency(prob):
+    assert check_self_consistency(prob, 1.0)
+
+
+def test_zscore_oracle(fitted):
+    """The reference's entire correctness oracle (test/runtests.jl:31)."""
+    z = abs(float(fitted.theta[0])) / float(fitted.sigma[0])
+    assert z < 2.0
+
+
+def test_result_fields_populated(fitted):
+    assert fitted.H is not None and fitted.J is not None
+    assert fitted.Sigma is not None and fitted.Sigma_inv is not None
+    assert fitted.dist is not None
+    assert len(fitted.history) >= 2
+    assert len(fitted.gs) == NSIMS
+    assert fitted.time > 0
+    assert "theta=" in repr(fitted)
+
+
+def test_H_matches_analytic(prob, fitted):
+    """Analytic oracle: H(θ̂) within MC error of the closed form."""
+    th = float(fitted.theta[0])
+    expected = funnel_analytic_H(th, DIM)
+    got = float(np.asarray(fitted.H)[0, 0])
+    per_sim_std = np.std([h[0, 0] for h in fitted.Hs], ddof=1)
+    mc_err = 4 * per_sim_std / np.sqrt(len(fitted.Hs)) + 0.05 * expected
+    assert abs(got - expected) < mc_err
+
+
+def test_implicit_and_fd_H_agree(prob):
+    r1, r2 = MuseResult(), MuseResult()
+    get_J(r1, prob, 0.0, nsims=30)
+    r2.gs = [g.copy() for g in r1.gs]
+    get_H(r1, prob, 0.0, nsims=5, grad_z_atol=1e-3)
+    get_H(r2, prob, 0.0, nsims=5, implicit_diff=True)
+    np.testing.assert_allclose(r1.H, r2.H, rtol=2e-2)
+
+
+def test_resume_continues_iteration(prob):
+    res = MuseResult()
+    muse_fit(res, prob, 1.0, nsims=20, maxsteps=2, key=jax.random.PRNGKey(3))
+    assert len(res.history) == 2
+    theta_mid = res.theta.copy()
+    muse_fit(res, prob, nsims=20, maxsteps=10)
+    assert len(res.history) > 2
+    # resumed run starts from where the first left off
+    np.testing.assert_allclose(res.history[2]["theta_unreg"], theta_mid)
+
+
+def test_checkpoint_roundtrip(prob, tmp_path):
+    f = str(tmp_path / "ckpt.pkl")
+    res = MuseResult()
+    muse_fit(res, prob, 1.0, nsims=20, maxsteps=2,
+             key=jax.random.PRNGKey(3), checkpoint_file=f)
+    loaded = MuseResult.load(f)
+    assert len(loaded.history) == 2
+    np.testing.assert_allclose(loaded.theta, res.theta)
+    # loaded result resumes
+    muse_fit(loaded, prob, nsims=20, maxsteps=4)
+    assert len(loaded.history) >= 2
+
+
+def test_incremental_get_J(prob):
+    """get_J resume: raising nsims adds only new sims, and the first batch
+    is bit-identical to a fresh larger run's prefix (CRN key discipline,
+    src/muse.jl:499-506)."""
+    key = jax.random.PRNGKey(5)
+    r1 = MuseResult()
+    get_J(r1, prob, 0.0, key=key, nsims=10)
+    assert len(r1.gs) == 10
+    get_J(r1, prob, 0.0, nsims=20)
+    assert len(r1.gs) == 20
+
+    r2 = MuseResult()
+    get_J(r2, prob, 0.0, key=key, nsims=20)
+    np.testing.assert_allclose(np.asarray(r1.gs), np.asarray(r2.gs),
+                               rtol=1e-5)
+
+
+def test_get_H_incremental(prob):
+    r = MuseResult()
+    get_J(r, prob, 0.0, nsims=20)
+    get_H(r, prob, 0.0, nsims=3)
+    assert len(r.Hs) == 3
+    H3 = np.asarray(r.H).copy()
+    get_H(r, prob, 0.0, nsims=6)
+    assert len(r.Hs) == 6
+    assert not np.allclose(np.asarray(r.H), H3)  # mean updated
+
+
+def test_alpha_schedule_and_regularize(prob):
+    steps = []
+    res = muse(prob, 1.0, nsims=10, maxsteps=3,
+               alpha=lambda i: 0.5 if i == 1 else 0.9,
+               regularize=lambda t: np.clip(t, -5, 5),
+               key=jax.random.PRNGKey(7))
+    assert len(res.history) >= 2
+
+
+def test_broyden_update_runs(prob):
+    res = muse(prob, 1.0, nsims=20, maxsteps=6, Hinv_update="broyden",
+               theta_rtol=1e-3, key=jax.random.PRNGKey(8))
+    assert len(res.history) >= 3
+    res2 = muse(prob, 1.0, nsims=20, maxsteps=6,
+                Hinv_update="diagonal_broyden", theta_rtol=1e-3,
+                key=jax.random.PRNGKey(8))
+    assert np.isfinite(res2.theta).all()
+
+
+def test_vector_theta_pipeline():
+    prob = vector_funnel_problem(dim=64, blocks=2,
+                                 data_key=jax.random.PRNGKey(9))
+    res = muse(prob, jnp.zeros(2) + 0.5, nsims=30, maxsteps=20,
+               get_covariance=True, key=jax.random.PRNGKey(10))
+    assert res.theta.shape == (2,)
+    assert np.asarray(res.H).shape == (2, 2)
+    assert np.asarray(res.J).shape == (2, 2)
+    assert np.asarray(res.Sigma).shape == (2, 2)
+    # each component within 3σ of truth (0)
+    z = np.abs(res.theta) / res.sigma
+    assert (z < 3).all()
+
+
+def test_save_maps_stores_zhat(prob):
+    res = muse(prob, 1.0, nsims=5, maxsteps=2, save_maps=True,
+               key=jax.random.PRNGKey(11))
+    assert res.history[0]["zhat_dat"] is not None
+    assert res.history[0]["zhat_dat"].shape == (DIM,)
