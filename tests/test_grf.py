@@ -1,0 +1,79 @@
+"""GRF model tests: MUSE vs the exact marginal MLE (a closed-form oracle
+this Gaussian problem admits — MUSE is exact here, arXiv:2112.09354 §2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_tpu import check_self_consistency, muse
+from muse_tpu.models.grf import GrfConfig, grf_marginal_mle, grf_problem
+from muse_tpu.ops.cg import batched_cg
+
+
+def test_batched_cg_solves_spd():
+    B, N = 4, 32
+    key = jax.random.PRNGKey(0)
+    M = jax.random.normal(key, (N, N))
+    A = M @ M.T + N * jnp.eye(N)
+    b = jax.random.normal(jax.random.PRNGKey(1), (B, N))
+    res = batched_cg(lambda X: X @ A.T, b, tol=1e-8)
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(np.asarray(res.x @ A.T), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return grf_problem(n=32, solver="cg", data_key=jax.random.PRNGKey(42))
+
+
+def test_grf_self_consistency(prob):
+    assert check_self_consistency(prob, 0.5)
+
+
+def test_spectrum_sampling_statistics():
+    """Sampled fields must realize the requested power spectrum."""
+    cfg = GrfConfig(n=32, gamma=2.0)
+    keys = jax.random.split(jax.random.PRNGKey(3), 200)
+
+    def spec_of(key):
+        u = jax.random.normal(key, (32, 32))
+        z = cfg.apply_sqrtC(u, 0.0)
+        return jnp.abs(jnp.fft.rfft2(z)) ** 2 / 32 ** 2
+
+    mean_p = np.asarray(jax.vmap(spec_of)(keys).mean(0))
+    C = np.asarray(cfg.spectrum(0.0))
+    mask = np.asarray(cfg.k) > 2  # skip the handful of large-scale modes
+    ratio = mean_p[mask] / C[mask]
+    assert abs(ratio.mean() - 1.0) < 0.05
+
+
+def test_muse_matches_marginal_mle(prob):
+    """θ̂ parity against the exact marginal MLE (BASELINE 1e-3-class
+    target, here within the nsims MC error)."""
+    mle, sigma = grf_marginal_mle(prob.x, prob.grf_config)
+    res = muse(prob, 0.5, nsims=50, maxsteps=30, theta_rtol=1e-3,
+               get_covariance=True, key=jax.random.PRNGKey(1))
+    mc_err = 3 * sigma / np.sqrt(50) + 0.02
+    assert abs(float(res.theta[0]) - mle) < mc_err
+    assert abs(float(res.sigma[0]) - sigma) < 0.5 * sigma
+
+
+def test_solver_paths_agree(prob):
+    res_cg = muse(prob, 0.5, nsims=20, maxsteps=10, theta_rtol=1e-3,
+                  grad_z_atol=1e-3, key=jax.random.PRNGKey(1))
+    for sv in ("direct", "lbfgs"):
+        p = grf_problem(n=32, solver=sv, x_obs=prob.x)
+        r = muse(p, 0.5, nsims=20, maxsteps=10, theta_rtol=1e-3,
+                 grad_z_atol=1e-3, key=jax.random.PRNGKey(1))
+        assert abs(float(r.theta[0]) - float(res_cg.theta[0])) < 0.05, sv
+
+
+def test_grf_tilt_vector_theta():
+    prob = grf_problem(n=32, infer_tilt=True, solver="cg",
+                       data_key=jax.random.PRNGKey(5))
+    res = muse(prob, jnp.array([0.3, 0.1]), nsims=20, maxsteps=10,
+               key=jax.random.PRNGKey(6))
+    assert res.theta.shape == (2,)
+    assert np.isfinite(res.theta).all()
