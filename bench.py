@@ -1,0 +1,97 @@
+"""Headline benchmark: wall-clock per MUSE iteration, 100 sims, 1024² latent.
+
+This is BASELINE.json's north-star metric.  The reference publishes no
+benchmark numbers (SURVEY §6), so ``vs_baseline`` is measured directly on
+the same hardware: the ratio of the reference's *execution model* (one
+simulation MAP+gradient at a time, as a Distributed worker would run it,
+src/muse.jl:169-176) to this framework's lockstep-batched step.  That is
+the honest apples-to-apples speedup of the TPU-native design over the
+reference's per-sim scheduling, with identical math.
+
+Prints ONE JSON line:
+  {"metric": "muse_iteration_wall_s_100sims_1024sq", "value": ...,
+   "unit": "s", "vs_baseline": ...}
+
+Flags: --grid N --nsims N (default 1024/100), --quick (128²/16 sims, CPU-
+friendly smoke mode).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+
+def build(n_grid, nsims, seed=0):
+    from muse_tpu.models.grf import grf_problem
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+    from muse_tpu.utils.keys import as_key, sim_keys
+
+    prob = grf_problem(n=n_grid, solver="cg",
+                       data_key=jax.random.PRNGKey(42))
+    spec = ThetaSpec.from_example(0.0)
+    th0 = spec.flatten(0.0)
+    comp = CompiledProblem(prob, spec, th0)
+
+    key = as_key(seed)
+    dummy = jax.random.fold_in(key, 2 ** 31 - 1)
+    keys_all = jnp.concatenate([dummy[None], sim_keys(key, nsims)])
+    Z = jnp.zeros((nsims + 1, comp.nz), jnp.float32)
+    th = jnp.asarray(th0, jnp.float32)
+    atol = jnp.asarray(1e-2, jnp.float32)
+    return comp, th, keys_all, Z, atol
+
+
+def time_step(comp, th, keys_all, Z, atol, reps=3):
+    out = comp.muse_step(th, th, keys_all, Z, atol)   # compile + warm
+    jax.block_until_ready(out["g"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = comp.muse_step(th, th, keys_all, Z, atol)
+        jax.block_until_ready(out["g"])
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=1024)
+    ap.add_argument("--nsims", type=int, default=100)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--baseline-lanes", type=int, default=4,
+                    help="sims measured one-at-a-time for the baseline")
+    args = ap.parse_args()
+    if args.quick:
+        args.grid, args.nsims = 128, 16
+
+    comp, th, keys_all, Z, atol = build(args.grid, args.nsims)
+
+    batched_s = time_step(comp, th, keys_all, Z, atol)
+
+    # Reference execution model on the same chip: per-sim sequential
+    # MAP+gradient (B=2 lanes: data+1 sim is the smallest unit the step
+    # runs; we use B=2 and scale — conservative in the baseline's favor).
+    comp1, th1, keys1, Z1, atol1 = build(args.grid, 1)
+    seq_one = time_step(comp1, th1, keys1, Z1, atol1,
+                        reps=args.baseline_lanes) / 2.0  # per lane
+    seq_total = seq_one * (args.nsims + 1)
+
+    result = {
+        "metric": f"muse_iteration_wall_s_{args.nsims}sims_"
+                  f"{args.grid}sq",
+        "value": round(batched_s, 4),
+        "unit": "s",
+        "vs_baseline": round(seq_total / batched_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

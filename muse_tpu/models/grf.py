@@ -87,12 +87,37 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                 k0: float = 1.0, infer_tilt: bool = False,
                 theta_true=None, data_key=None, x_obs=None,
                 solver: str = "cg", cg_maxiter: int = 200,
-                prior_std: float = 3.0) -> SimpleMuseProblem:
-    """Build the GRF MUSE problem (see module docstring)."""
+                prior_std: float = 3.0, mesh=None) -> SimpleMuseProblem:
+    """Build the GRF MUSE problem (see module docstring).
+
+    With a 2-axis ``mesh`` (sims × field), the CG solve keeps its state
+    field-sharded and stages FFTs through the standard reshard→local-FFT→
+    reshard pattern: the field is gathered per-sim for the (local) 2D FFT
+    and re-scattered for the elementwise spectrum/CG updates.  This is the
+    conventional distributed-spectral layout; XLA emits the all-gathers/
+    slices over ICI.
+    """
     cfg = config or GrfConfig(n, sigma_noise, gamma, k0, infer_tilt)
     n = cfg.n
     s2 = cfg.sigma_noise ** 2
     ntheta = 2 if cfg.infer_tilt else 1
+
+    if mesh is not None and mesh.field_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _full = NamedSharding(mesh.mesh, P(mesh.sims_axis, None, None))
+        _flat = NamedSharding(mesh.mesh, P(mesh.sims_axis, mesh.field_axis))
+        _lane = NamedSharding(mesh.mesh, P(mesh.sims_axis, None))
+
+        def stage_full(U):     # (B, n, n): gather field per sim for FFT
+            return jax.lax.with_sharding_constraint(U, _full)
+
+        def stage_flat(Zf):    # (B, n²): scatter over the field axis
+            return jax.lax.with_sharding_constraint(Zf, _flat)
+
+        def stage_lane(Zf):    # (B, n²): sims-sharded only (solver output)
+            return jax.lax.with_sharding_constraint(Zf, _lane)
+    else:
+        stage_full = stage_flat = stage_lane = lambda a: a
 
     def sample_x_z(key, theta):
         k1, k2 = jax.random.split(key)
@@ -119,19 +144,25 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         th = _theta_of(th_flat)
         X = xs                                     # (B, n, n)
         B = X.shape[0]
+        C = cfg.spectrum(th)
 
         def matvec(U):
-            Uf = U.reshape(B, n, n)
-            out = Uf + jax.vmap(lambda u: cfg.apply_C(u, th))(Uf) / s2
-            return out.reshape(B, -1)
+            Uf = stage_full(U.reshape(B, n, n))
+            CU = jnp.fft.irfft2(C * jnp.fft.rfft2(Uf, axes=(-2, -1)),
+                                s=(n, n), axes=(-2, -1))
+            return stage_flat((Uf + CU / s2).reshape(B, -1))
 
-        b = jax.vmap(lambda x: cfg.apply_sqrtC(x, th))(X) / s2
-        res = batched_cg(matvec, b.reshape(B, -1), Z0,
-                         tol=atol, maxiter=cg_maxiter)
+        Xf = stage_full(X)
+        b = jnp.fft.irfft2(jnp.sqrt(C) * jnp.fft.rfft2(Xf, axes=(-2, -1)),
+                           s=(n, n), axes=(-2, -1)) / s2
+        res = batched_cg(matvec, stage_flat(b.reshape(B, -1)),
+                         stage_flat(Z0), tol=atol, maxiter=cg_maxiter)
         aux = {"converged": res.converged,
                "failed": ~jnp.isfinite(res.r_norm),
                "iterations": res.iterations, "g_norm": res.r_norm}
-        return res.x, aux
+        # hand the MAP back sims-sharded so downstream per-lane FFTs
+        # (θ-gradients of log_like) stay device-local
+        return stage_lane(res.x), aux
 
     def zhat_direct(xs, Z0, th_flat, atol):
         th = _theta_of(th_flat)
