@@ -29,12 +29,14 @@ from .result import MuseResult, load_result
 from .solver.jacobians import get_H, get_J
 from .solver.muse import muse, muse_fit
 from .theta import ThetaSpec
-from . import distributions, transforms
+from . import distributions, ppl, transforms
+from .ppl import PPLMuseProblem
 
 __all__ = [
-    "MuseProblem", "SimpleMuseProblem", "MuseResult", "load_result",
-    "muse", "muse_fit", "get_J", "get_H", "check_self_consistency",
-    "ThetaSpec", "distributions", "transforms",
+    "MuseProblem", "SimpleMuseProblem", "PPLMuseProblem", "MuseResult",
+    "load_result", "muse", "muse_fit", "get_J", "get_H",
+    "check_self_consistency", "ThetaSpec", "distributions", "ppl",
+    "transforms",
 ]
 
 __version__ = "0.1.0"

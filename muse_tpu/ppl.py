@@ -1,0 +1,271 @@
+"""A minimal effect-handler PPL — the model-ingestion layer.
+
+The reference ingests PPL-defined models through Turing.jl and Soss.jl
+adapters (``src/turing.jl``, ``src/soss.jl``).  numpyro is unavailable in
+this environment, so the framework ships its own JAX-native PPL in the
+numpyro/Turing style: models are plain Python functions calling
+``sample(name, dist)``; effect handlers reinterpret those calls to trace,
+seed, or substitute values.  Everything is jit/vmap/grad-safe (handlers
+only run at trace time; the resulting computation is pure JAX).
+
+Example (the reference test's funnel, test/runtests.jl:14-18)::
+
+    import jax.numpy as jnp
+    from muse_tpu import ppl
+    from muse_tpu.distributions import Normal
+
+    def funnel():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((512,)))
+        x = ppl.sample("x", Normal(z, 1.0))
+
+    prob = ppl.PPLMuseProblem(funnel, observed={"x": x_obs},
+                              params=("theta",))
+    result = muse(prob, {"theta": 1.0})
+
+Site classification mirrors ``TuringMuseProblem`` (src/turing.jl:137-140):
+conditioned (``observed``) sites are the data, ``params`` are the hyper
+parameters θ, and every remaining sample site is latent space z.  Latents
+live in *unconstrained* space inside the solver (positive/interval
+supports are linked through their bijectors with the density volume
+factor, matching DynamicPPL's linked ``logjoint``), and θ gets a blockwise
+support bijector with the Turing volume-factor convention
+(src/turing.jl:171-186).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import transforms as tf
+from .distributions import Distribution
+from .problem import MuseProblem
+
+__all__ = ["sample", "deterministic", "trace", "seed", "substitute",
+           "PPLMuseProblem"]
+
+_HANDLER_STACK: list = []
+
+
+class Messenger:
+    """Base effect handler: a context manager on the handler stack."""
+
+    def __enter__(self):
+        _HANDLER_STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        assert _HANDLER_STACK.pop() is self
+
+    def process(self, site: dict):
+        pass
+
+    def postprocess(self, site: dict):
+        pass
+
+
+class seed(Messenger):
+    """Provides PRNG keys to sample sites (deterministic per site order)."""
+
+    def __init__(self, key):
+        self.key = key
+        self._count = 0
+
+    def __enter__(self):
+        self._count = 0
+        return super().__enter__()
+
+    def process(self, site):
+        if site["type"] == "sample" and site["key"] is None:
+            site["key"] = jax.random.fold_in(self.key, self._count)
+        self._count += 1
+
+
+class substitute(Messenger):
+    """Fixes named site values (conditioning / parameter injection)."""
+
+    def __init__(self, values: Dict[str, Any]):
+        self.values = dict(values)
+
+    def process(self, site):
+        if site["name"] in self.values:
+            site["value"] = self.values[site["name"]]
+
+
+class trace(Messenger):
+    """Records every site: name → {dist, value, type}."""
+
+    def __init__(self):
+        self.sites: Dict[str, dict] = {}
+
+    def postprocess(self, site):
+        self.sites[site["name"]] = dict(site)
+
+
+def sample(name: str, dist: Distribution, obs=None):
+    """Declare a random variable.  Returns its (sampled/substituted) value."""
+    site = {"type": "sample", "name": name, "dist": dist, "value": obs,
+            "key": None}
+    for h in reversed(_HANDLER_STACK):
+        h.process(site)
+    if site["value"] is None:
+        if site["key"] is None:
+            raise RuntimeError(
+                f"site {name!r} has no value and no seed handler is active")
+        site["value"] = dist.sample(site["key"])
+    site["value"] = jnp.asarray(site["value"])
+    for h in _HANDLER_STACK:
+        h.postprocess(site)
+    return site["value"]
+
+
+def deterministic(name: str, value):
+    """Record a derived quantity in traces."""
+    site = {"type": "deterministic", "name": name, "value": value,
+            "dist": None, "key": None}
+    for h in reversed(_HANDLER_STACK):
+        h.process(site)
+    for h in _HANDLER_STACK:
+        h.postprocess(site)
+    return value
+
+
+# --------------------------------------------------------------------- #
+# MUSE problem adapter
+# --------------------------------------------------------------------- #
+
+def _bij_for(dist: Distribution):
+    return tf.from_support(dist.support)
+
+
+def _site_logpdf(site) -> jnp.ndarray:
+    return jnp.sum(site["dist"].log_prob(site["value"]))
+
+
+class PPLMuseProblem(MuseProblem):
+    """Adapt a handler-PPL model to the MUSE interface.
+
+    Args:
+      model: the model function (calls ``ppl.sample``; extra ``*args``
+        forwarded — the Soss ``model(σ)`` parameterization analog).
+      observed: dict of conditioned site values — the data x
+        (``model | (;x)`` analog).
+      params: names of the hyper-parameter sites θ (default ``("theta",)``,
+        matching the reference default ``params=(:θ,)``).
+      model_args: extra positional arguments for ``model``.
+    """
+
+    volume_factor = True   # Turing convention (src/turing.jl:171-186)
+
+    def __init__(self, model: Callable, *, observed: Dict[str, Any],
+                 params: Sequence[str] = ("theta",), model_args: tuple = ()):
+        self.model = model
+        self.model_args = tuple(model_args)
+        self.observed = {k: jnp.asarray(v) for k, v in observed.items()}
+        self.params = tuple(params)
+
+        # --- site discovery (src/turing.jl:137-140) ------------------- #
+        with trace() as tr, seed(jax.random.PRNGKey(0)):
+            model(*self.model_args)
+        self.site_order = [n for n, s in tr.sites.items()
+                           if s["type"] == "sample"]
+        missing = [p for p in self.params if p not in self.site_order]
+        if missing:
+            raise ValueError(f"params {missing} are not sites of the model")
+        bad_obs = [o for o in self.observed if o not in self.site_order]
+        if bad_obs:
+            raise ValueError(f"observed {bad_obs} are not model sites")
+        self.latent_vars = tuple(
+            n for n in self.site_order
+            if n not in self.observed and n not in self.params)
+        if not self.latent_vars:
+            raise ValueError("model has no latent sites")
+
+        # per-site support bijectors (from the discovery trace's dists;
+        # supports must be θ-independent, as in Turing's link machinery)
+        self._site_bij = {n: _bij_for(tr.sites[n]["dist"])
+                          for n in self.site_order}
+        self._discovery = tr.sites
+
+        # θ blockwise bijector over the *flat* θ vector.  Flattening order
+        # must match ThetaSpec (jax dict pytrees sort keys), so sites are
+        # ordered by sorted name.
+        import numpy as np
+        hyper_sorted = sorted(self.params)
+        sizes = [max(1, int(np.prod(tr.sites[n]["value"].shape)))
+                 for n in hyper_sorted]
+        bijs = [self._site_bij[n] for n in hyper_sorted]
+        if all(b.name == "identity" for b in bijs):
+            self.theta_bijector = None
+        else:
+            self.theta_bijector = tf.Blockwise(bijs, sizes)
+
+        self.x = {k: self.observed[k] for k in sorted(self.observed)}
+
+    # ----------------------------------------------------------------- #
+
+    def _theta_dict(self, theta) -> Dict[str, Any]:
+        if isinstance(theta, dict):
+            extra = set(theta) - set(self.params)
+            if extra:
+                raise ValueError(f"unknown θ entries {sorted(extra)}; "
+                                 f"params are {self.params}")
+            return {k: jnp.asarray(v) for k, v in theta.items()}
+        if len(self.params) == 1:
+            return {self.params[0]: jnp.asarray(theta)}
+        raise ValueError("θ must be a dict naming each of "
+                         f"{self.params}")
+
+    def sample_x_z(self, key, theta) -> Tuple[Dict, Dict]:
+        """Forward-sample (x, z) | θ; z returned in unconstrained space."""
+        with trace() as tr, seed(key), substitute(self._theta_dict(theta)):
+            self.model(*self.model_args)
+        x = {n: tr.sites[n]["value"] for n in sorted(self.observed)}
+        z = {n: self._site_bij[n].forward(tr.sites[n]["value"])
+             for n in sorted(self.latent_vars)}
+        return x, z
+
+    def log_like(self, x, z, theta) -> jnp.ndarray:
+        """Linked log-joint: all sites' densities with z's unconstrained-
+        space volume factors — ``DynPPL.logjoint`` on a SimpleVarInfo with
+        z linked (src/turing.jl:192-196).  Includes the θ-prior term; it
+        cancels in the MUSE score's data−sims subtraction and shifts
+        neither J nor H (constant in x)."""
+        values = dict(self._theta_dict(theta))
+        ldj = jnp.zeros(())
+        for n in sorted(self.latent_vars):
+            b = self._site_bij[n]
+            zc = b.inverse(jnp.asarray(z[n]))
+            values[n] = zc
+            # linked density: log p_c(z_c) − log|det ∂b/∂z_c|
+            ldj = ldj - b.log_det_jacobian(zc)
+        for n in sorted(self.observed):
+            values[n] = jnp.asarray(x[n])
+        with trace() as tr, substitute(values):
+            self.model(*self.model_args)
+        lp = sum(_site_logpdf(tr.sites[n]) for n in self.site_order)
+        return lp + ldj
+
+    def log_prior(self, theta) -> jnp.ndarray:
+        """θ-prior alone (``model_for_prior`` analog, src/turing.jl:198-202):
+        θ sites' densities with every other site fixed to its discovery
+        value (so θ-dependent downstream dists don't contribute)."""
+        values = dict(self._theta_dict(theta))
+        for n in self.site_order:
+            if n not in values:
+                values[n] = self._discovery[n]["value"]
+        with trace() as tr, substitute(values):
+            self.model(*self.model_args)
+        return sum(_site_logpdf(tr.sites[n]) for n in self.params)
+
+
+def model_problem(model: Callable, theta0, observed: Dict[str, Any],
+                  **kwargs) -> PPLMuseProblem:
+    """Convenience: infer ``params`` from the keys of θ₀ — the
+    ``muse(model, (σ=0.5, θ=0))`` direct-on-model overload analog
+    (src/turing.jl:245-256)."""
+    params = tuple(theta0.keys()) if isinstance(theta0, dict) else ("theta",)
+    return PPLMuseProblem(model, observed=observed, params=params, **kwargs)

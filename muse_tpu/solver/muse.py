@@ -173,6 +173,16 @@ def muse_fit(
 
             # H⁻¹ via sims variance / Broyden replay (src/muse.jl:188-205)
             var_sims = g_sims_t.var(axis=0, ddof=1)
+            if (var_sims <= 0).any() or not np.isfinite(var_sims).all():
+                bad = [result.theta_names[k] if k < len(result.theta_names)
+                       else str(k)
+                       for k in np.where(~(var_sims > 0))[0]]
+                raise RuntimeError(
+                    f"MUSE iteration {i}: zero/non-finite score variance "
+                    f"for θ component(s) {bad}. A hyper-parameter whose "
+                    "score has no simulation scatter does not affect the "
+                    "observed data and cannot be estimated by MUSE — check "
+                    "the model structure.")
             Hinv_like_sims = np.diag(-1.0 / var_sims)
             if Hinv_like is None or Hinv_update == "sims":
                 Hinv_like = Hinv_like_sims

@@ -1,0 +1,156 @@
+"""PPL adapter tests — the Turing/Soss-adapter test surface
+(test/runtests.jl structure: self-consistency + end-to-end funnel), plus
+handler-level unit tests the reference gets for free from DynamicPPL."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_tpu import check_self_consistency, muse
+from muse_tpu import ppl
+from muse_tpu.distributions import LogNormal, Normal, Uniform
+
+D = 64
+
+
+def funnel():
+    theta = ppl.sample("theta", Normal(0.0, 3.0))
+    z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((D,)))
+    ppl.sample("x", Normal(z, 1.0))
+
+
+@pytest.fixture(scope="module")
+def x_obs():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+    z = jax.random.normal(k1, (D,))
+    return z + jax.random.normal(k2, (D,))
+
+
+@pytest.fixture(scope="module")
+def prob(x_obs):
+    return ppl.PPLMuseProblem(funnel, observed={"x": x_obs},
+                              params=("theta",))
+
+
+class TestHandlers:
+    def test_trace_records_sites(self):
+        with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(0)):
+            funnel()
+        assert list(tr.sites) == ["theta", "z", "x"]
+        assert tr.sites["z"]["value"].shape == (D,)
+
+    def test_seed_deterministic(self):
+        vals = []
+        for _ in range(2):
+            with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(7)):
+                funnel()
+            vals.append(tr.sites["z"]["value"])
+        np.testing.assert_array_equal(np.asarray(vals[0]),
+                                      np.asarray(vals[1]))
+
+    def test_substitute_overrides(self):
+        with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(0)), \
+                ppl.substitute({"theta": 2.5}):
+            funnel()
+        assert float(tr.sites["theta"]["value"]) == 2.5
+
+    def test_sample_without_seed_raises(self):
+        with pytest.raises(RuntimeError):
+            funnel()
+
+    def test_deterministic_site(self):
+        def m():
+            a = ppl.sample("a", Normal(0.0, 1.0))
+            ppl.deterministic("b", a * 2)
+        with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(0)):
+            m()
+        assert "b" in tr.sites
+        assert float(tr.sites["b"]["value"]) == pytest.approx(
+            2 * float(tr.sites["a"]["value"]))
+
+
+class TestProblemConstruction:
+    def test_site_classification(self, prob):
+        assert prob.latent_vars == ("z",)
+        assert prob.params == ("theta",)
+
+    def test_unknown_param_raises(self, x_obs):
+        with pytest.raises(ValueError):
+            ppl.PPLMuseProblem(funnel, observed={"x": x_obs},
+                               params=("nope",))
+
+    def test_unknown_observed_raises(self):
+        with pytest.raises(ValueError):
+            ppl.PPLMuseProblem(funnel, observed={"q": jnp.zeros(3)})
+
+    def test_theta_key_validation(self, prob):
+        with pytest.raises(ValueError):
+            prob._theta_dict({"wrong": 1.0})
+
+
+def test_self_consistency(prob):
+    assert check_self_consistency(prob, {"theta": 1.0})
+
+
+def test_self_consistency_transformed_theta(x_obs):
+    """Positive-support hyper → log bijector → volume-factor math
+    (the has_volume_factor=true Turing case, test/runtests.jl:29)."""
+    def amp_model():
+        amp = ppl.sample("amp", LogNormal(0.0, 1.0))
+        z = ppl.sample("z", Normal(0.0, amp).expand((D,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    p = ppl.PPLMuseProblem(amp_model, observed={"x": x_obs},
+                           params=("amp",))
+    assert p.theta_bijector is not None
+    assert check_self_consistency(p, {"amp": 1.3})
+
+
+def test_end_to_end_funnel(prob):
+    """The reference's oracle: full pipeline, θ̂/σ < 2."""
+    res = muse(prob, {"theta": 1.0}, nsims=30, maxsteps=20,
+               get_covariance=True, key=jax.random.PRNGKey(1))
+    assert abs(float(res.theta[0])) / float(res.sigma[0]) < 2
+    assert isinstance(res.theta_user, dict)
+
+
+def test_hierarchical_two_hypers_two_latents():
+    """Toy hierarchical chain (TuringMuseProblem docstring example,
+    src/turing.jl:63-79) with mixed θ supports."""
+    def toy():
+        sigma = ppl.sample("sigma", Uniform(0.1, 1.0))
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(theta, jnp.exp(sigma)).expand((32,)))
+        w = ppl.sample("w", Normal(z, 1.0))
+        ppl.sample("x", Normal(w, 1.0))
+
+    with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(3)), \
+            ppl.substitute({"sigma": 0.5, "theta": 0.2}):
+        toy()
+    p = ppl.PPLMuseProblem(toy, observed={"x": tr.sites["x"]["value"]},
+                           params=("sigma", "theta"))
+    assert p.latent_vars == ("z", "w")
+    assert check_self_consistency(p, {"sigma": 0.5, "theta": 0.0})
+    res = muse(p, {"sigma": 0.4, "theta": 0.0}, nsims=20, maxsteps=15,
+               get_covariance=True, key=jax.random.PRNGKey(4))
+    zscores = np.abs(res.theta - np.array([0.5, 0.2])) / res.sigma
+    assert (zscores < 3).all()
+
+
+def test_degenerate_hyper_raises():
+    """A hyper that doesn't touch the data must fail loudly, not NaN."""
+    def degen():
+        ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, 1.0).expand((16,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    p = ppl.PPLMuseProblem(degen, observed={"x": np.zeros(16)},
+                           params=("theta",))
+    with pytest.raises(RuntimeError, match="zero/non-finite score"):
+        muse(p, {"theta": 1.0}, nsims=5, maxsteps=3)
+
+
+def test_model_problem_infers_params(x_obs):
+    p = ppl.model_problem(funnel, {"theta": 0.0}, observed={"x": x_obs})
+    assert p.params == ("theta",)
