@@ -1,5 +1,5 @@
 from .funnel import funnel_problem, vector_funnel_problem, funnel_analytic_H
-from .grf import GrfConfig, grf_problem, grf_marginal_mle
+from .grf import GrfConfig, grf_problem, grf_field_problem, grf_marginal_mle
 
 __all__ = ["funnel_problem", "vector_funnel_problem", "funnel_analytic_H",
-           "GrfConfig", "grf_problem", "grf_marginal_mle"]
+           "GrfConfig", "grf_problem", "grf_field_problem", "grf_marginal_mle"]

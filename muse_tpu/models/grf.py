@@ -192,6 +192,73 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     return prob
 
 
+def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
+                      sigma_noise: float = 1.0, gamma: float = 2.0,
+                      k0: float = 1.0, theta_true: float = 0.0,
+                      data_key=None, x_obs=None,
+                      prior_std: float = 3.0) -> SimpleMuseProblem:
+    """Non-whitened GRF variant: the latent IS the field z ~ N(0, F⁻¹CF).
+
+    Same marginal model for x as :func:`grf_problem` (z = S_θ u), so both
+    parameterizations must deliver the same θ̂ — a parameterization-
+    invariance oracle.  The Fourier-space prior term and its θ/z gradients
+    run through the fused Pallas kernel (ops/pallas_grf.py):
+
+      log p(z|θ) = −½ [ Σ_k w_k|ẑ_k|²/C_k / n² + Σ_k w_k log C_k ] + const
+
+    The MAP is the Wiener filter ẑ_k = C x̂_k/(C+σ²) (Fourier-diagonal
+    closed form) — with explicit C this latent is badly conditioned for
+    iterative solvers, which is exactly why the primary model family uses
+    the whitened parameterization (module docstring).
+    """
+    from ..ops.pallas_grf import (pack_rfft2, pack_weights,
+                                  spectrum_quadform)
+
+    cfg = config or GrfConfig(n, sigma_noise, gamma, k0, False)
+    n = cfg.n
+    s2 = cfg.sigma_noise ** 2
+
+    def sample_x_z(key, theta):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.normal(k1, (n, n))
+        z = cfg.apply_sqrtC(u, theta)
+        x = z + cfg.sigma_noise * jax.random.normal(k2, (n, n))
+        return x, z
+
+    def log_like(x, z, theta):
+        C = cfg.spectrum(theta)
+        invCw2 = pack_weights(cfg.herm_weight / C)
+        quad = spectrum_quadform(pack_rfft2(z)[None], invCw2)[0] / n ** 2
+        logdet = jnp.sum(cfg.herm_weight * jnp.log(C))
+        r = x - z
+        return -0.5 * (jnp.sum(r * r) / s2 + quad + logdet)
+
+    def log_prior(theta):
+        th = jnp.atleast_1d(jnp.asarray(theta))
+        return -jnp.sum(th ** 2) / (2 * prior_std ** 2)
+
+    def zhat_wiener(xs, Z0, th_flat, atol):
+        C = cfg.spectrum(th_flat[0])
+
+        def one(x):
+            xf = jnp.fft.rfft2(x)
+            return jnp.fft.irfft2(C * xf / (C + s2), s=(n, n)).reshape(-1)
+
+        Z = jax.vmap(one)(xs)
+        B = Z.shape[0]
+        return Z, {"converged": jnp.ones(B, bool),
+                   "failed": jnp.zeros(B, bool)}
+
+    if x_obs is None:
+        data_key = jax.random.PRNGKey(42) if data_key is None else data_key
+        x_obs, _ = sample_x_z(data_key, theta_true)
+
+    prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
+                             custom_zhat=zhat_wiener)
+    prob.grf_config = cfg
+    return prob
+
+
 def grf_marginal_mle(x_obs, cfg: GrfConfig,
                      theta_grid=None) -> Tuple[float, float]:
     """Exact marginal MLE θ̂ and Fisher σ for the amplitude-only problem.
