@@ -1,5 +1,7 @@
 from .funnel import funnel_problem, vector_funnel_problem, funnel_analytic_H
 from .grf import GrfConfig, grf_problem, grf_field_problem, grf_marginal_mle
+from .lensing import lensing_problem
 
 __all__ = ["funnel_problem", "vector_funnel_problem", "funnel_analytic_H",
-           "GrfConfig", "grf_problem", "grf_field_problem", "grf_marginal_mle"]
+           "GrfConfig", "grf_problem", "grf_field_problem",
+           "grf_marginal_mle", "lensing_problem"]

@@ -1,0 +1,80 @@
+"""Lensing-style model tests — the nonlinear large-field config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_tpu import check_self_consistency, muse
+from muse_tpu.models.lensing import (bilinear_warp, gradient_field,
+                                     lensing_problem, taylor_lens)
+
+
+class TestWarpOps:
+    def test_bilinear_identity(self):
+        f = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+        zero = jnp.zeros((8, 8))
+        np.testing.assert_allclose(np.asarray(bilinear_warp(f, zero, zero)),
+                                   np.asarray(f), atol=1e-6)
+
+    def test_bilinear_integer_shift_is_roll(self):
+        f = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+        one = jnp.ones((8, 8))
+        zero = jnp.zeros((8, 8))
+        np.testing.assert_allclose(
+            np.asarray(bilinear_warp(f, one, zero)),
+            np.asarray(jnp.roll(f, -1, axis=1)), atol=1e-6)
+
+    def test_taylor_identity(self):
+        f = jax.random.normal(jax.random.PRNGKey(1), (16, 16))
+        zero = jnp.zeros((16, 16))
+        np.testing.assert_allclose(np.asarray(taylor_lens(f, zero, zero)),
+                                   np.asarray(f), atol=1e-5)
+
+    def test_taylor_matches_exact_shift_for_smooth_field(self):
+        """For a single low-k Fourier mode, a small constant shift is
+        computable exactly; Taylor must match to O(d³)."""
+        n = 32
+        xg = jnp.arange(n)
+        f = jnp.cos(2 * jnp.pi * (xg[None, :] + 2 * xg[:, None]) / n)
+        d = 0.2
+        shifted_exact = jnp.cos(2 * jnp.pi * ((xg[None, :] + d)
+                                              + 2 * xg[:, None]) / n)
+        got = taylor_lens(f, jnp.full((n, n), d), jnp.zeros((n, n)))
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(shifted_exact), atol=2e-4)
+
+    def test_gradient_field_of_plane_wave(self):
+        n = 32
+        xg = jnp.arange(n)
+        phi = jnp.sin(2 * jnp.pi * xg[None, :] / n) * jnp.ones((n, 1))
+        dx, dy = gradient_field(phi)
+        expected = (2 * jnp.pi / n) * jnp.cos(2 * jnp.pi * xg / n)
+        np.testing.assert_allclose(np.asarray(dx[0]), np.asarray(expected),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return lensing_problem(n=32, data_key=jax.random.PRNGKey(42))
+
+
+def test_self_consistency(prob):
+    assert check_self_consistency(prob, 0.3)
+
+
+def test_latent_is_two_fields(prob):
+    _, u = prob.sample_x_z(jax.random.PRNGKey(0), 0.0)
+    assert set(u) == {"uphi", "uz"}
+    assert u["uz"].shape == (32, 32)
+
+
+def test_end_to_end_amplitude_recovery(prob):
+    res = muse(prob, 0.5, nsims=20, maxsteps=15, get_covariance=True,
+               key=jax.random.PRNGKey(1))
+    z = abs(float(res.theta[0])) / float(res.sigma[0])
+    assert z < 3.0          # truth is 0; nonlinear model, modest sims
+    assert np.isfinite(res.Sigma).all()
+    # warm-started MAPs converge by the later iterations
+    assert res.history[-1]["map_converged"].all()
