@@ -189,30 +189,31 @@ class CompiledProblem:
         Returns g of shape (nsims, nθ, 2, nθ); the solver host-side forms
         H_sim[:, j] = (g[s,j,0] − g[s,j,1]) / (2εⱼ).
         """
-        def run(keys, th, steps, Zfid, atol):
+        def run(keys, th, steps, Zfid, atol, offsets):
             nsims = keys.shape[0]
             ntheta = th.shape[0]
-            signs = jnp.array([1.0, -1.0], self.dtype)
+            ns = offsets.shape[0]
             eye = jnp.eye(ntheta, dtype=self.dtype)
-            # perturbation grid: (nθ columns, ± stencil, nθ coords)
-            pert = signs[None, :, None] * steps[:, None, None] * eye[:, None, :]
+            # perturbation grid: (nθ columns, stencil, nθ coords)
+            pert = (offsets.astype(self.dtype)[None, :, None]
+                    * steps[:, None, None] * eye[:, None, :])
             th_pert = jnp.broadcast_to(th[None, None, :] + pert,
-                                       (nsims, ntheta, 2, ntheta))
+                                       (nsims, ntheta, ns, ntheta))
             keys_b = jnp.broadcast_to(keys[:, None, None],
-                                      (nsims, ntheta, 2) + keys.shape[1:])
+                                      (nsims, ntheta, ns) + keys.shape[1:])
             flat_keys = keys_b.reshape((-1,) + keys.shape[1:])
             flat_th = th_pert.reshape((-1, ntheta))
             xs, _ = jax.vmap(self._sample_flat)(flat_keys, flat_th)
             Z0 = jnp.broadcast_to(Zfid[:, None, None, :],
-                                  (nsims, ntheta, 2, self.nz)
+                                  (nsims, ntheta, ns, self.nz)
                                   ).reshape((-1, self.nz))
             Z, aux = self._solve_maps(xs, Z0, th, atol)
             g = jax.vmap(lambda x, z: jax.grad(
                 lambda t: self._ll(x, z, t))(th))(xs, Z)
-            g = g.reshape((nsims, ntheta, 2, ntheta))
+            g = g.reshape((nsims, ntheta, ns, ntheta))
             return {"g": g,
-                    "converged": aux["converged"].reshape(nsims, ntheta, 2),
-                    "failed": aux["failed"].reshape(nsims, ntheta, 2)}
+                    "converged": aux["converged"].reshape(nsims, ntheta, ns),
+                    "failed": aux["failed"].reshape(nsims, ntheta, ns)}
         return jax.jit(run)
 
     @functools.cached_property

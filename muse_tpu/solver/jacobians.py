@@ -50,6 +50,31 @@ def sample_covariance(gs: np.ndarray) -> np.ndarray:
     return np.atleast_2d(np.cov(np.asarray(gs), rowvar=False, ddof=1))
 
 
+def _key_chunks(keys, max_batch, mesh):
+    """Yield (device_keys, true_count) chunks of the per-sim key array.
+
+    ``max_batch`` bounds device memory (the BatchWorkerPool analog,
+    src/util.jl:79-83): each chunk is padded to exactly ``max_batch``
+    lanes so every chunk reuses one compiled shape; padded lanes compute
+    discarded work.  With a mesh, each chunk is sharded over the sims
+    axis.
+    """
+    import jax.numpy as jnp
+
+    n = keys.shape[0]
+    step = n if max_batch is None else max_batch
+    for i in range(0, n, step):
+        chunk = keys[i:i + step]
+        c = chunk.shape[0]
+        if c < step and max_batch is not None:
+            chunk = jnp.concatenate(
+                [chunk,
+                 jnp.broadcast_to(chunk[-1:], (step - c,) + chunk.shape[1:])])
+        if mesh is not None:
+            chunk = mesh.shard_sims(chunk)
+        yield chunk, c
+
+
 def _setup(result: MuseResult, problem: MuseProblem, theta0, key, dtype,
            compiled: Optional[CompiledProblem]):
     theta_start = theta0 if theta0 is not None else result.theta
@@ -80,6 +105,7 @@ def get_J(
     grad_z_atol: float = 1e-2,
     skip_errors: bool = False,
     covariance_method=sample_covariance,
+    max_batch=None,
     mesh=None,
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
@@ -93,12 +119,14 @@ def get_J(
 
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
-        if mesh is not None:
-            keys = mesh.shard_sims(keys)
-        out = comp.j_sims(keys, jnp.asarray(th, dtype),
-                          jnp.asarray(grad_z_atol, dtype))
-        g = np.asarray(out["g"], np.float64)[:nsims_remaining]
-        failed = np.asarray(out["failed"])[:nsims_remaining]
+        g_parts, failed_parts = [], []
+        for chunk, c in _key_chunks(keys, max_batch, mesh):
+            out = comp.j_sims(chunk, jnp.asarray(th, dtype),
+                              jnp.asarray(grad_z_atol, dtype))
+            g_parts.append(np.asarray(out["g"], np.float64)[:c])
+            failed_parts.append(np.asarray(out["failed"])[:c])
+        g = np.concatenate(g_parts)
+        failed = np.concatenate(failed_parts)
         if failed.any():
             if not skip_errors:
                 raise RuntimeError(
@@ -131,6 +159,7 @@ def get_H(
     implicit_diff_cg_maxiter: int = 100,
     implicit_diff_cg_tol: float = 1e-6,
     implicit_fit_atol: float = 1e-1,
+    max_batch=None,
     mesh=None,
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
@@ -153,16 +182,19 @@ def get_H(
         return result
 
     keys = sim_keys(key, nsims, salt=1)[nsims_existing:]
-    if mesh is not None:
-        keys = mesh.shard_sims(keys)
 
     if implicit_diff:
-        Hs, resid = comp.h_implicit(
-            keys, jnp.asarray(th, dtype), jnp.asarray(implicit_fit_atol,
-                                                      dtype),
-            implicit_diff_cg_maxiter, implicit_diff_cg_tol,
-            implicit_diff_H1_is_zero)
-        Hs = np.asarray(Hs, np.float64)[:nsims_remaining]
+        H_parts, resid_parts = [], []
+        for chunk, c in _key_chunks(keys, max_batch, mesh):
+            Hs_c, resid_c = comp.h_implicit(
+                chunk, jnp.asarray(th, dtype),
+                jnp.asarray(implicit_fit_atol, dtype),
+                implicit_diff_cg_maxiter, implicit_diff_cg_tol,
+                implicit_diff_H1_is_zero)
+            H_parts.append(np.asarray(Hs_c, np.float64)[:c])
+            resid_parts.append(np.asarray(resid_c)[:c])
+        Hs = np.concatenate(H_parts)
+        resid = np.concatenate(resid_parts)
         bad = ~np.isfinite(Hs).all(axis=(1, 2))
         if bad.any():
             if not skip_errors:
@@ -173,7 +205,7 @@ def get_H(
             Hs = Hs[~bad]
         result.Hs.extend(list(Hs))
         result.metadata.setdefault("implicit_diff_cg_resid", []).extend(
-            list(np.asarray(resid)[:nsims_remaining]))
+            list(resid))
     else:
         # FD step ≈ 0.1σ from the J sims (src/muse.jl:411-414)
         if step is None:
@@ -188,16 +220,32 @@ def get_H(
         # fiducial fits: warm starts for every FD evaluation
         # (src/muse.jl:417-423; the reference's rngs-shadowing quirk is
         # intentionally NOT replicated — each sim uses its own key)
-        fid = comp.h_fiducial(keys, jnp.asarray(th, dtype),
-                              jnp.asarray(grad_z_atol, dtype))
-        out = comp.h_fd(keys, jnp.asarray(th, dtype),
-                        jnp.asarray(step, dtype), fid["Z"],
-                        jnp.asarray(grad_z_atol, dtype))
-        g = np.asarray(out["g"], np.float64)[:nsims_remaining]  # (nsims, nθ, 2, nθ)
+        # central-difference stencil: order 2 → (±ε), order 4 → (±ε, ±2ε)
+        if fd_order == 2:
+            offsets = np.array([1.0, -1.0])
+            weights = np.array([0.5, -0.5])
+        elif fd_order == 4:
+            offsets = np.array([1.0, -1.0, 2.0, -2.0])
+            weights = np.array([8.0, -8.0, -1.0, 1.0]) / 12.0
+        else:
+            raise ValueError("fd_order must be 2 or 4")
+
+        g_parts, failed_parts = [], []
+        for chunk, c in _key_chunks(keys, max_batch, mesh):
+            fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
+                                  jnp.asarray(grad_z_atol, dtype))
+            out = comp.h_fd(chunk, jnp.asarray(th, dtype),
+                            jnp.asarray(step, dtype), fid["Z"],
+                            jnp.asarray(grad_z_atol, dtype),
+                            jnp.asarray(offsets, dtype))
+            g_parts.append(np.asarray(out["g"], np.float64)[:c])
+            failed_parts.append(
+                np.asarray(out["failed"])[:c].any(axis=(1, 2)))
+        g = np.concatenate(g_parts)            # (nsims, nθ, S, nθ)
         # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
-        Hs = (g[:, :, 0, :] - g[:, :, 1, :]) / (2.0 * step[None, :, None])
+        Hs = np.einsum("njsi,s->nji", g, weights) / step[None, :, None]
         Hs = np.swapaxes(Hs, 1, 2)             # → (nsims, nθ rows, nθ cols)
-        failed = np.asarray(out["failed"])[:nsims_remaining].any(axis=(1, 2))
+        failed = np.concatenate(failed_parts)
         bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
         if bad.any():
             if not skip_errors:

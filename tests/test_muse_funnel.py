@@ -157,3 +157,17 @@ def test_save_maps_stores_zhat(prob):
                key=jax.random.PRNGKey(11))
     assert res.history[0]["zhat_dat"] is not None
     assert res.history[0]["zhat_dat"].shape == (DIM,)
+
+
+def test_max_batch_chunking_matches_unchunked(prob):
+    """max_batch (BatchWorkerPool analog) must not change results."""
+    key = jax.random.PRNGKey(6)
+    r1, r2 = MuseResult(), MuseResult()
+    get_J(r1, prob, 0.0, key=key, nsims=11)
+    get_J(r2, prob, 0.0, key=key, nsims=11, max_batch=4)
+    np.testing.assert_allclose(np.asarray(r1.gs), np.asarray(r2.gs),
+                               rtol=1e-5)
+    get_H(r1, prob, 0.0, nsims=3)
+    get_H(r2, prob, 0.0, nsims=3, max_batch=2)
+    np.testing.assert_allclose(np.asarray(r1.Hs), np.asarray(r2.Hs),
+                               rtol=1e-4)
