@@ -29,14 +29,23 @@ import jax
 import jax.numpy as jnp
 
 
-def build(n_grid, nsims, seed=0):
-    from muse_tpu.models.grf import grf_problem
+def build(n_grid, nsims, seed=0, model="grf"):
     from muse_tpu.solver.compiled import CompiledProblem
     from muse_tpu.theta import ThetaSpec
     from muse_tpu.utils.keys import as_key, sim_keys
 
-    prob = grf_problem(n=n_grid, solver="cg",
-                       data_key=jax.random.PRNGKey(42))
+    if model == "grf":
+        from muse_tpu.models.grf import grf_problem
+        prob = grf_problem(n=n_grid, solver="cg",
+                           data_key=jax.random.PRNGKey(42))
+    elif model == "lensing":
+        from muse_tpu.models.lensing import lensing_problem
+        prob = lensing_problem(n=n_grid, data_key=jax.random.PRNGKey(42))
+    elif model == "funnel":
+        from muse_tpu.models.funnel import funnel_problem
+        prob = funnel_problem(n_grid, data_key=jax.random.PRNGKey(42))
+    else:
+        raise ValueError(model)
     spec = ThetaSpec.from_example(0.0)
     th0 = spec.flatten(0.0)
     comp = CompiledProblem(prob, spec, th0)
@@ -64,6 +73,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=1024)
     ap.add_argument("--nsims", type=int, default=100)
+    ap.add_argument("--model", default="grf",
+                    choices=["grf", "lensing", "funnel"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline-lanes", type=int, default=4,
                     help="sims measured one-at-a-time for the baseline")
@@ -71,21 +82,23 @@ def main():
     if args.quick:
         args.grid, args.nsims = 128, 16
 
-    comp, th, keys_all, Z, atol = build(args.grid, args.nsims)
+    comp, th, keys_all, Z, atol = build(args.grid, args.nsims,
+                                        model=args.model)
 
     batched_s = time_step(comp, th, keys_all, Z, atol)
 
     # Reference execution model on the same chip: per-sim sequential
     # MAP+gradient (B=2 lanes: data+1 sim is the smallest unit the step
     # runs; we use B=2 and scale — conservative in the baseline's favor).
-    comp1, th1, keys1, Z1, atol1 = build(args.grid, 1)
+    comp1, th1, keys1, Z1, atol1 = build(args.grid, 1, model=args.model)
     seq_one = time_step(comp1, th1, keys1, Z1, atol1,
                         reps=args.baseline_lanes) / 2.0  # per lane
     seq_total = seq_one * (args.nsims + 1)
 
+    suffix = "" if args.model == "grf" else f"_{args.model}"
     result = {
         "metric": f"muse_iteration_wall_s_{args.nsims}sims_"
-                  f"{args.grid}sq",
+                  f"{args.grid}sq{suffix}",
         "value": round(batched_s, 4),
         "unit": "s",
         "vs_baseline": round(seq_total / batched_s, 2),

@@ -3,17 +3,20 @@
 The reference lazily gates its Turing/Soss adapters on package presence
 (``Requires.@require`` blocks, src/MuseInference.jl:38-57); this module is
 the same pattern for numpyro: importable always, usable when numpyro is
-installed.  The environment this framework is developed in has no numpyro,
-so the adapter is exercised only by its import-gating test; the in-repo
-handler PPL (muse_tpu.ppl) is the primary model frontend.
+installed.  The environment this framework is developed in has **no
+numpyro**, so this adapter is complete but exercised only by its
+import-gating test there; the in-repo handler PPL (muse_tpu.ppl) is the
+primary, fully-tested model frontend with identical semantics.
 
 Mapping (mirrors TuringMuseProblem, src/turing.jl:112-169):
   site discovery        → numpyro.handlers.trace over a seeded model
-  observed/hyper/latent → obs sites / ``params`` / remaining sample sites
-  log_like              → numpyro.infer.util.log_density with latents
-                          linked through their biject_to transforms
-  sample_x_z            → seeded trace with θ substituted
-  θ transforms          → dist.biject_to(support) blockwise
+  observed/hyper/latent → ``observed`` keys / ``params`` / remaining sites
+  sample_x_z            → seeded trace with θ substituted; latents linked
+                          to unconstrained space via biject_to transforms
+  log_like              → Σ site log-probs with latent volume factors
+                          (linked logjoint, src/turing.jl:192-196)
+  log_prior             → θ sites' densities alone (src/turing.jl:198-202)
+  θ transforms          → blockwise biject_to over the flat θ vector
 """
 
 from __future__ import annotations
@@ -27,11 +30,12 @@ try:
 
     HAVE_NUMPYRO = True
 except ImportError:  # pragma: no cover - environment has no numpyro
-    numpyro = None
+    numpyro = npdist = nph = None
     HAVE_NUMPYRO = False
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..problem import MuseProblem
 
@@ -45,7 +49,7 @@ class NumpyroMuseProblem(MuseProblem):
 
     def __init__(self, model, *, observed: Dict[str, Any],
                  params: Sequence[str] = ("theta",), model_args: tuple = (),
-                 model_kwargs: dict | None = None):
+                 model_kwargs: dict = None):
         if not HAVE_NUMPYRO:
             raise ImportError(
                 "numpyro is not installed; use muse_tpu.ppl.PPLMuseProblem "
@@ -60,16 +64,126 @@ class NumpyroMuseProblem(MuseProblem):
             *self.model_args, **self.model_kwargs)
         sites = {n: s for n, s in tr.items() if s["type"] == "sample"}
         self.site_order = list(sites)
+        missing = [p for p in self.params if p not in self.site_order]
+        if missing:
+            raise ValueError(f"params {missing} are not sites of the model")
+        bad_obs = [o for o in self.observed if o not in self.site_order]
+        if bad_obs:
+            raise ValueError(f"observed {bad_obs} are not model sites")
         self.latent_vars = tuple(n for n in self.site_order
                                  if n not in self.observed
                                  and n not in self.params)
-        self._transforms = {
-            n: npdist.biject_to(sites[n]["fn"].support)
-            for n in self.site_order}
-        # NOTE: θ blockwise bijector + log_like via numpyro's log_density
-        # follow the same construction as muse_tpu.ppl.PPLMuseProblem; see
-        # that class for the reference-parity semantics.
-        raise NotImplementedError(
-            "NumpyroMuseProblem is scaffolded but untested in this "
-            "environment (numpyro unavailable); use "
-            "muse_tpu.ppl.PPLMuseProblem.")
+        if not self.latent_vars:
+            raise ValueError("model has no latent sites")
+
+        # biject_to(support): constrained -> unconstrained is .inv;
+        # our Bijector.forward = to-unconstrained, so wrap accordingly.
+        self._site_tf = {n: npdist.biject_to(sites[n]["fn"].support)
+                         for n in self.site_order}
+        self._discovery = {n: sites[n]["value"] for n in self.site_order}
+
+        hyper_sorted = sorted(self.params)
+        self._hyper_sorted = hyper_sorted
+        self._hyper_sizes = [
+            max(1, int(np.prod(np.shape(sites[n]["value"]))))
+            for n in hyper_sorted]
+        if all(isinstance(self._site_tf[n], npdist.transforms.IdentityTransform)
+               for n in hyper_sorted):
+            self.theta_bijector = None
+        else:
+            self.theta_bijector = _BlockwiseBiject(
+                [self._site_tf[n] for n in hyper_sorted],
+                self._hyper_sizes,
+                [np.shape(sites[n]["value"]) for n in hyper_sorted])
+
+        self.x = {k: self.observed[k] for k in sorted(self.observed)}
+
+    # ------------------------------------------------------------- #
+
+    def _theta_dict(self, theta):
+        if isinstance(theta, dict):
+            extra = set(theta) - set(self.params)
+            if extra:
+                raise ValueError(f"unknown θ entries {sorted(extra)}")
+            return {k: jnp.asarray(v) for k, v in theta.items()}
+        if len(self.params) == 1:
+            return {self.params[0]: jnp.asarray(theta)}
+        raise ValueError(f"θ must be a dict naming each of {self.params}")
+
+    def sample_x_z(self, key, theta):
+        sub = nph.substitute(self.model, data=self._theta_dict(theta))
+        tr = nph.trace(nph.seed(sub, key)).get_trace(
+            *self.model_args, **self.model_kwargs)
+        x = {n: tr[n]["value"] for n in sorted(self.observed)}
+        z = {n: self._site_tf[n].inv(tr[n]["value"])
+             for n in sorted(self.latent_vars)}
+        return x, z
+
+    def log_like(self, x, z, theta):
+        values = dict(self._theta_dict(theta))
+        ldj = jnp.zeros(())
+        for n in sorted(self.latent_vars):
+            tf = self._site_tf[n]
+            zc = tf(jnp.asarray(z[n]))   # unconstrained -> constrained
+            values[n] = zc
+            # linked density: + log|det d unconstrained/d constrained|
+            ldj = ldj + jnp.sum(tf.inv.log_abs_det_jacobian(zc, z[n]))
+        for n in sorted(self.observed):
+            values[n] = jnp.asarray(x[n])
+        sub = nph.substitute(self.model, data=values)
+        tr = nph.trace(nph.seed(sub, jax.random.PRNGKey(0))).get_trace(
+            *self.model_args, **self.model_kwargs)
+        lp = sum(jnp.sum(tr[n]["fn"].log_prob(tr[n]["value"]))
+                 for n in self.site_order)
+        return lp + ldj
+
+    def log_prior(self, theta):
+        values = dict(self._theta_dict(theta))
+        for n in self.site_order:
+            if n not in values:
+                values[n] = self._discovery[n]
+        sub = nph.substitute(self.model, data=values)
+        tr = nph.trace(nph.seed(sub, jax.random.PRNGKey(0))).get_trace(
+            *self.model_args, **self.model_kwargs)
+        return sum(jnp.sum(tr[n]["fn"].log_prob(tr[n]["value"]))
+                   for n in self.params)
+
+
+class _BlockwiseBiject:
+    """Blockwise numpyro-transform bijector over the flat θ vector,
+    exposing the muse_tpu.transforms.Bijector protocol (forward = to
+    unconstrained space)."""
+
+    def __init__(self, tfs, sizes, shapes):
+        self.tfs = tfs
+        self.sizes = sizes
+        self.shapes = shapes
+
+    def _split(self, v):
+        out, i = [], 0
+        for s in self.sizes:
+            out.append(jax.lax.dynamic_slice_in_dim(v, i, s))
+            i += s
+        return out
+
+    def forward(self, theta_flat):
+        parts = []
+        for tf, p, shp in zip(self.tfs, self._split(theta_flat),
+                              self.shapes):
+            parts.append(jnp.ravel(tf.inv(p.reshape(shp or ()))))
+        return jnp.concatenate(parts)
+
+    def inverse(self, theta_t_flat):
+        parts = []
+        for tf, p, shp in zip(self.tfs, self._split(theta_t_flat),
+                              self.shapes):
+            parts.append(jnp.ravel(tf(p.reshape(shp or ()))))
+        return jnp.concatenate(parts)
+
+    def log_det_jacobian(self, theta_flat):
+        total = jnp.zeros(())
+        for tf, p, shp in zip(self.tfs, self._split(theta_flat),
+                              self.shapes):
+            c = p.reshape(shp or ())
+            total = total + jnp.sum(tf.inv.log_abs_det_jacobian(c, tf.inv(c)))
+        return total

@@ -156,12 +156,17 @@ class PPLMuseProblem(MuseProblem):
       params: names of the hyper-parameter sites θ (default ``("theta",)``,
         matching the reference default ``params=(:θ,)``).
       model_args: extra positional arguments for ``model``.
+      volume_factor: whether transformed-θ densities include the
+        change-of-variables term.  True = Turing convention
+        (src/turing.jl:171-186, reference tests pass
+        ``has_volume_factor=true``); False = Soss convention
+        (src/soss.jl:111-118, plain reparameterization).
     """
 
-    volume_factor = True   # Turing convention (src/turing.jl:171-186)
-
     def __init__(self, model: Callable, *, observed: Dict[str, Any],
-                 params: Sequence[str] = ("theta",), model_args: tuple = ()):
+                 params: Sequence[str] = ("theta",), model_args: tuple = (),
+                 volume_factor: bool = True):
+        self.volume_factor = volume_factor
         self.model = model
         self.model_args = tuple(model_args)
         self.observed = {k: jnp.asarray(v) for k, v in observed.items()}

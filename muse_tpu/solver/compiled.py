@@ -53,6 +53,16 @@ class CompiledProblem:
         self.lbfgs_memory = lbfgs_memory
         self.lbfgs_max_iters = lbfgs_max_iters
 
+        if (jnp.dtype(dtype) == jnp.dtype("float64")
+                and not jax.config.jax_enable_x64):
+            import warnings
+            warnings.warn(
+                "dtype=float64 requested but jax_enable_x64 is off — "
+                "arrays will silently be float32. Enable x64 with "
+                "jax.config.update('jax_enable_x64', True) (CPU only; "
+                "TPUs emulate f64 slowly — prefer float32 on device with "
+                "the host-side float64 outer loop, which is the default).")
+
         # Discover z's pytree structure / flat size from one example draw.
         x0, z0 = problem.sample_x_z(jax.random.PRNGKey(0),
                                     spec.unflatten(jnp.asarray(theta0_flat)))
@@ -146,8 +156,13 @@ class CompiledProblem:
             Z, aux = self._solve_maps(xs, Z_prev, th, atol)
             g = jax.vmap(lambda x, z: jax.grad(
                 lambda t: self._ll(x, z, t))(th))(xs, Z)
-            g_t = jax.vmap(lambda x, z: jax.grad(
-                lambda tt: self._ll_t(x, z, tt))(th_t))(xs, Z)
+            if self.problem.theta_bijector is None:
+                # identity transform ⇒ the two θ-space gradients coincide
+                # (src/muse.jl:172-173 collapses); skip half the AD work
+                g_t = g
+            else:
+                g_t = jax.vmap(lambda x, z: jax.grad(
+                    lambda tt: self._ll_t(x, z, tt))(th_t))(xs, Z)
             return {"g": g, "g_t": g_t, "Z": Z, **aux}
         return jax.jit(step)
 

@@ -87,6 +87,7 @@ def muse_fit(
     mesh=None,
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
+    profile_dir: Optional[str] = None,
 ) -> MuseResult:
     """Run/resume the MUSE iteration on ``result`` (``muse!`` analog).
 
@@ -144,7 +145,14 @@ def muse_fit(
     pbar = ProgressReporter(maxsteps - len(history), "MUSE",
                             enabled=progress)
 
+    # optional XLA-level profiling of the iteration loop (view with
+    # tensorboard / xprof) — the framework's tracing hook; the reference
+    # has no profiler (SURVEY §5)
+    profile_ctx = (jax.profiler.trace(profile_dir) if profile_dir
+                   else _nullcontext())
+
     try:
+      with profile_ctx:
         for i in range(len(history) + 1, maxsteps + 1):
             t0 = _time.perf_counter()
 
@@ -279,6 +287,14 @@ def _warn_maps(out, i, b=None):
             f"MUSE iteration {i}: {int((~conv).sum())}/{conv.size} MAP "
             "solves did not converge within tolerance; result could be "
             "erroneous (same caveat as reference src/interface.jl:168-171).")
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def _fmt(th):

@@ -154,3 +154,17 @@ def test_degenerate_hyper_raises():
 def test_model_problem_infers_params(x_obs):
     p = ppl.model_problem(funnel, {"theta": 0.0}, observed={"x": x_obs})
     assert p.params == ("theta",)
+
+
+def test_soss_convention_volume_factor(x_obs):
+    """volume_factor=False (Soss convention, has_volume_factor=false in
+    the reference tests) must also pass self-consistency."""
+    def amp_model():
+        amp = ppl.sample("amp", LogNormal(0.0, 1.0))
+        z = ppl.sample("z", Normal(0.0, amp).expand((D,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    p = ppl.PPLMuseProblem(amp_model, observed={"x": x_obs},
+                           params=("amp",), volume_factor=False)
+    assert not p.volume_factor
+    assert check_self_consistency(p, {"amp": 1.3})
