@@ -50,7 +50,8 @@ class SimpleMuseProblem(MuseProblem):
                  theta_bijector=None,
                  volume_factor: bool = True,
                  zhat_guess_from_truth: Optional[Callable] = None,
-                 custom_zhat=None):
+                 custom_zhat=None,
+                 grad_theta_log_like: Optional[Callable] = None):
         self.x = x
         self._sample_x_z = sample_x_z
         self._log_like = log_like
@@ -59,6 +60,9 @@ class SimpleMuseProblem(MuseProblem):
         self.volume_factor = volume_factor
         self._zhat_guess = zhat_guess_from_truth
         self.custom_zhat = custom_zhat
+        # optional analytic ∂θ log_like (∇θ_logLike override analog,
+        # src/interface.jl:56-58); None ⇒ derived via jax.grad
+        self.grad_theta_log_like = grad_theta_log_like
 
     def sample_x_z(self, key, theta):
         return self._sample_x_z(key, theta)

@@ -134,6 +134,27 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         th = jnp.atleast_1d(jnp.asarray(theta))
         return -jnp.sum(th ** 2) / (2 * prior_std ** 2)
 
+    def grad_theta(x, u, theta):
+        """Analytic ∂θ log_like (∇θ_logLike override):
+
+          ∂θ₀ = ½ rᵀ(S u)/σ²           (∂θ₀ √C = ½√C)
+          ∂θ₁ = −rᵀ F⁻¹(½ log(k+k₀)·√C û)/σ²   (tilt)
+
+        One FFT pair instead of AD's forward+VJP chain — roughly halves
+        the θ-gradient cost per lane at large n.
+        """
+        C = cfg.spectrum(theta)
+        uf = jnp.fft.rfft2(u)
+        Su = jnp.fft.irfft2(jnp.sqrt(C) * uf, s=(n, n))
+        r = (x - Su) / s2
+        g0 = 0.5 * jnp.sum(r * Su)
+        if not cfg.infer_tilt:
+            return g0 if jnp.ndim(theta) == 0 else jnp.array([g0])
+        dS1 = jnp.fft.irfft2(-0.5 * jnp.log(cfg.k + cfg.k0)
+                             * jnp.sqrt(C) * uf, s=(n, n))
+        g1 = jnp.sum(r * dS1)
+        return jnp.array([g0, g1])
+
     # --- batched MAP solvers over the whitened latent ----------------- #
     # normal equations: (I + S_θᵀS_θ/σ²) u = S_θᵀ x / σ², S_θᵀS_θ = C_k
 
@@ -152,11 +173,21 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                                 s=(n, n), axes=(-2, -1))
             return stage_flat((Uf + CU / s2).reshape(B, -1))
 
+        def precond(R):
+            # exact Fourier-diagonal inverse (I + C/σ²)⁻¹ — PCG converges
+            # in ~1 iteration; kept as a preconditioner (not a direct
+            # solve) so the machinery generalizes to non-diagonal terms
+            Rf = stage_full(R.reshape(B, n, n))
+            MR = jnp.fft.irfft2(jnp.fft.rfft2(Rf, axes=(-2, -1))
+                                / (1.0 + C / s2), s=(n, n), axes=(-2, -1))
+            return stage_flat(MR.reshape(B, -1))
+
         Xf = stage_full(X)
         b = jnp.fft.irfft2(jnp.sqrt(C) * jnp.fft.rfft2(Xf, axes=(-2, -1)),
                            s=(n, n), axes=(-2, -1)) / s2
         res = batched_cg(matvec, stage_flat(b.reshape(B, -1)),
-                         stage_flat(Z0), tol=atol, maxiter=cg_maxiter)
+                         stage_flat(Z0), tol=atol, maxiter=cg_maxiter,
+                         precond=precond)
         aux = {"converged": res.converged,
                "failed": ~jnp.isfinite(res.r_norm),
                "iterations": res.iterations, "g_norm": res.r_norm}
@@ -187,7 +218,8 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         x_obs, _ = sample_x_z(data_key, theta_true)
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
-                             custom_zhat=custom)
+                             custom_zhat=custom,
+                             grad_theta_log_like=grad_theta)
     prob.grf_config = cfg
     return prob
 

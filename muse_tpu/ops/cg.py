@@ -33,7 +33,7 @@ class BatchedCgResult(NamedTuple):
     iterations: jnp.ndarray   # (B,)  int32
 
 
-@partial(jax.jit, static_argnames=("matvec", "maxiter"))
+@partial(jax.jit, static_argnames=("matvec", "precond", "maxiter"))
 def batched_cg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
@@ -41,6 +41,7 @@ def batched_cg(
     *,
     tol=1e-6,
     maxiter: int = 500,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] = None,
 ) -> BatchedCgResult:
     """Solve SPD systems ``A x = b`` for a batch of lanes in lockstep.
 
@@ -49,19 +50,25 @@ def batched_cg(
       b: ``(B, N)`` right-hand sides.
       x0: optional warm starts.
       tol: relative residual tolerance ‖r‖/‖b‖ (scalar or ``(B,)``).
+      precond: optional SPD preconditioner M⁻¹ (the ``Pl`` analog of the
+        reference's IterativeSolvers CG kwargs, src/muse.jl:312).  A good
+        M⁻¹ ≈ A⁻¹ collapses the iteration count — e.g. the GRF models use
+        their exact Fourier-diagonal inverse and converge in ~1 step.
     """
     B, N = b.shape
     x0 = jnp.zeros_like(b) if x0 is None else x0
     tol = jnp.broadcast_to(jnp.asarray(tol, b.dtype), (B,))
+    Minv = (lambda v: v) if precond is None else precond
 
     r0 = b - matvec(x0)
+    z0 = Minv(r0)
     b_norm = jnp.linalg.norm(b, axis=-1)
     thresh = tol * jnp.maximum(b_norm, 1e-30)
 
     def norm(v):
         return jnp.linalg.norm(v, axis=-1)
 
-    init = (x0, r0, r0, jnp.sum(r0 * r0, -1),
+    init = (x0, r0, z0, jnp.sum(r0 * z0, -1),
             norm(r0) < thresh, jnp.zeros((B,), jnp.int32),
             jnp.zeros((), jnp.int32))
 
@@ -70,18 +77,19 @@ def batched_cg(
         return (k < maxiter) & ~jnp.all(done)
 
     def body(state):
-        x, r, p, rs, done, iters, k = state
+        x, r, p, rz, done, iters, k = state
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap, -1)
-        alpha = rs / jnp.where(pAp > 0, pAp, 1.0)
+        alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
         alpha = jnp.where(done | (pAp <= 0), 0.0, alpha)
         x1 = x + alpha[:, None] * p
         r1 = r - alpha[:, None] * Ap
-        rs1 = jnp.sum(r1 * r1, -1)
-        beta = jnp.where(done, 0.0, rs1 / jnp.maximum(rs, 1e-30))
-        p1 = jnp.where(done[:, None], p, r1 + beta[:, None] * p)
-        done1 = done | (norm(r1) < thresh) | ~jnp.isfinite(rs1)
-        return (x1, r1, p1, rs1, done1,
+        z1 = Minv(r1)
+        rz1 = jnp.sum(r1 * z1, -1)
+        beta = jnp.where(done, 0.0, rz1 / jnp.where(rz == 0, 1.0, rz))
+        p1 = jnp.where(done[:, None], p, z1 + beta[:, None] * p)
+        done1 = done | (norm(r1) < thresh) | ~jnp.isfinite(rz1)
+        return (x1, r1, p1, rz1, done1,
                 iters + (~done).astype(jnp.int32), k + 1)
 
     x, r, _, _, done, iters, _ = lax.while_loop(cond, body, init)

@@ -121,6 +121,14 @@ class MuseProblem:
     # (src/interface.jl:162 note), but batched for TPU lockstep execution.
     custom_zhat = None
 
+    # Optional analytic θ-gradient of log_like — the analog of a problem
+    # overriding ∇θ_logLike instead of letting it be AD-derived
+    # (src/interface.jl:56-58).  Signature ``(x, z, θ) -> ∂θ log_like``
+    # returning a pytree matching θ's structure; used for the untransformed
+    # θ-space score (the hot path); transformed-space gradients still go
+    # through AD + the bijector chain rule.
+    grad_theta_log_like = None
+
 
 def check_self_consistency(problem: MuseProblem, theta, *, key=None,
                            atol=1e-2, eps=1e-3, dtype=jnp.float32):

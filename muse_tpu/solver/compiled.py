@@ -98,6 +98,16 @@ class CompiledProblem:
         gf, _ = ravel_pytree(g)
         return gf.astype(self.dtype)
 
+    def _grad_th(self, x, z_flat, th_flat):
+        """∂θ log_like in untransformed space: the problem's analytic
+        override when provided (src/interface.jl:56-58), else jax.grad."""
+        if self.problem.grad_theta_log_like is not None:
+            g = self.problem.grad_theta_log_like(
+                x, self.unravel_z(z_flat), self.spec.unflatten(th_flat))
+            gf, _ = ravel_pytree(g)
+            return gf.astype(self.dtype)
+        return jax.grad(lambda t: self._ll(x, z_flat, t))(th_flat)
+
     # ------------------------------------------------------------ #
     # batched MAP solve (ẑ_at_θ analog, lockstep over lanes)
     # ------------------------------------------------------------ #
@@ -154,8 +164,7 @@ class CompiledProblem:
 
             xs = jax.tree.map(mix, self.x_obs, xs_all)
             Z, aux = self._solve_maps(xs, Z_prev, th, atol)
-            g = jax.vmap(lambda x, z: jax.grad(
-                lambda t: self._ll(x, z, t))(th))(xs, Z)
+            g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             if self.problem.theta_bijector is None:
                 # identity transform ⇒ the two θ-space gradients coincide
                 # (src/muse.jl:172-173 collapses); skip half the AD work
@@ -173,8 +182,7 @@ class CompiledProblem:
         def run(keys, th, atol):
             xs, Zs = jax.vmap(self._sample_flat, in_axes=(0, None))(keys, th)
             Z, aux = self._solve_maps(xs, Zs, th, atol)
-            g = jax.vmap(lambda x, z: jax.grad(
-                lambda t: self._ll(x, z, t))(th))(xs, Z)
+            g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             return {"g": g, **aux}
         return jax.jit(run)
 
@@ -223,8 +231,7 @@ class CompiledProblem:
                                   (nsims, ntheta, ns, self.nz)
                                   ).reshape((-1, self.nz))
             Z, aux = self._solve_maps(xs, Z0, th, atol)
-            g = jax.vmap(lambda x, z: jax.grad(
-                lambda t: self._ll(x, z, t))(th))(xs, Z)
+            g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             g = g.reshape((nsims, ntheta, ns, ntheta))
             return {"g": g,
                     "converged": aux["converged"].reshape(nsims, ntheta, ns),

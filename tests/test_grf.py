@@ -77,3 +77,33 @@ def test_grf_tilt_vector_theta():
                key=jax.random.PRNGKey(6))
     assert res.theta.shape == (2,)
     assert np.isfinite(res.theta).all()
+
+
+def test_analytic_theta_gradient_matches_ad():
+    """The ∇θ_logLike override (src/interface.jl:56-58 analog) must match
+    jax.grad of log_like."""
+    for tilt in (False, True):
+        p = grf_problem(n=32, infer_tilt=tilt,
+                        data_key=jax.random.PRNGKey(42))
+        th = jnp.array([0.3, 0.1]) if tilt else 0.3
+        x, u = p.sample_x_z(jax.random.PRNGKey(7), th)
+        ga = np.asarray(p.grad_theta_log_like(x, u, th))
+        gad = np.asarray(jax.grad(lambda t: p.log_like(x, u, t))(th))
+        np.testing.assert_allclose(ga, gad, rtol=1e-4, atol=1e-5)
+
+
+def test_preconditioned_cg_matches_plain():
+    """Jacobi PCG on an ill-conditioned diagonal-dominant system: same
+    solution, far fewer iterations."""
+    B, N = 3, 24
+    d = jnp.linspace(1.0, 1000.0, N)
+    M = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (N, N))
+    A = jnp.diag(d) + M @ M.T
+    b = jax.random.normal(jax.random.PRNGKey(3), (B, N))
+    diag_inv = 1.0 / jnp.diag(A)
+    plain = batched_cg(lambda X: X @ A.T, b, tol=1e-6, maxiter=2000)
+    pcg = batched_cg(lambda X: X @ A.T, b, tol=1e-6, maxiter=2000,
+                     precond=lambda R: R * diag_inv)
+    np.testing.assert_allclose(np.asarray(pcg.x), np.asarray(plain.x),
+                               rtol=1e-3, atol=1e-4)
+    assert int(pcg.iterations.max()) < int(plain.iterations.max())
