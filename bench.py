@@ -54,17 +54,18 @@ def build(n_grid, nsims, seed=0, model="grf"):
     dummy = jax.random.fold_in(key, 2 ** 31 - 1)
     keys_all = jnp.concatenate([dummy[None], sim_keys(key, nsims)])
     Z = jnp.zeros((nsims + 1, comp.nz), jnp.float32)
+    lane_ids = jnp.arange(nsims + 1)
     th = jnp.asarray(th0, jnp.float32)
     atol = jnp.asarray(1e-2, jnp.float32)
-    return comp, th, keys_all, Z, atol
+    return comp, th, keys_all, Z, lane_ids, atol
 
 
-def time_step(comp, th, keys_all, Z, atol, reps=3):
-    out = comp.muse_step(th, th, keys_all, Z, atol)   # compile + warm
+def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3):
+    out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)  # compile
     jax.block_until_ready(out["g"])
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = comp.muse_step(th, th, keys_all, Z, atol)
+        out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)
         jax.block_until_ready(out["g"])
     return (time.perf_counter() - t0) / reps
 
@@ -82,16 +83,17 @@ def main():
     if args.quick:
         args.grid, args.nsims = 128, 16
 
-    comp, th, keys_all, Z, atol = build(args.grid, args.nsims,
-                                        model=args.model)
+    comp, th, keys_all, Z, lane_ids, atol = build(args.grid, args.nsims,
+                                                  model=args.model)
 
-    batched_s = time_step(comp, th, keys_all, Z, atol)
+    batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol)
 
     # Reference execution model on the same chip: per-sim sequential
     # MAP+gradient (B=2 lanes: data+1 sim is the smallest unit the step
     # runs; we use B=2 and scale — conservative in the baseline's favor).
-    comp1, th1, keys1, Z1, atol1 = build(args.grid, 1, model=args.model)
-    seq_one = time_step(comp1, th1, keys1, Z1, atol1,
+    comp1, th1, keys1, Z1, lanes1, atol1 = build(args.grid, 1,
+                                                 model=args.model)
+    seq_one = time_step(comp1, th1, keys1, Z1, lanes1, atol1,
                         reps=args.baseline_lanes) / 2.0  # per lane
     seq_total = seq_one * (args.nsims + 1)
 

@@ -28,7 +28,6 @@ Gaussian limit, arXiv:2112.09354 §2).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -25,8 +25,6 @@ whitened so the MAP Hessian is I + O(signal²/σ²).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,8 +28,6 @@ semantics, no Mosaic.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -29,8 +29,6 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .transforms import Bijector
-
 __all__ = ["MuseProblem", "check_self_consistency"]
 
 

@@ -27,7 +27,6 @@ whole traced computation and rides ICI for any cross-sim reduction.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -148,15 +147,19 @@ class CompiledProblem:
         fixed per-sim keys (CRN).  Output per-lane θ-gradients in both
         spaces + new warm starts + MAP diagnostics (src/muse.jl:169-181).
         """
-        def step(th, th_t, keys_all, Z_prev, atol):
-            # keys_all has one key per lane; lane 0's sample is replaced by
-            # the observed data (the ``[nothing; split_rng(...)]`` layout,
-            # src/muse.jl:169-170).  Sampling lane 0 anyway keeps every
-            # lane identical in shape/work — a prerequisite for lockstep
-            # batching and uniform mesh sharding.
+        def step(th, th_t, keys_all, Z_prev, lane_ids, atol):
+            # keys_all has one key per lane; the lane with global id 0 has
+            # its sample replaced by the observed data (the
+            # ``[nothing; split_rng(...)]`` layout, src/muse.jl:169-170).
+            # Sampling it anyway keeps every lane identical in shape/work —
+            # a prerequisite for lockstep batching and uniform mesh
+            # sharding.  ``lane_ids`` carries global lane numbers so the
+            # solver can process the lane axis in memory-bounded chunks
+            # (src/muse.jl's whole-sims pmap has no such need; a 513-lane
+            # 1024² batch exceeds one chip's HBM).
             xs_all, _ = jax.vmap(self._sample_flat, in_axes=(0, None))(
                 keys_all, th)
-            lane = jnp.arange(Z_prev.shape[0])
+            lane = lane_ids
 
             def mix(o, s):
                 m = (lane == 0).reshape((-1,) + (1,) * (s.ndim - 1))

@@ -36,7 +36,6 @@ import numpy as np
 
 from ..problem import MuseProblem
 from ..result import MuseResult
-from ..theta import ThetaSpec
 from ..utils.keys import as_key, sim_keys
 from .compiled import CompiledProblem
 from .covariance import finalize_result

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 import time as _time
-from typing import Any, Callable, Optional, Union
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +84,7 @@ def muse_fit(
     checkpoint_file: Optional[str] = None,
     get_covariance: bool = False,
     save_maps=False,
+    max_batch: Optional[int] = None,
     mesh=None,
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
@@ -136,11 +137,32 @@ def muse_fit(
         z0_flat = jnp.asarray(spec_flatten_z(comp, z0), dtype)
     else:
         z0_flat = jnp.zeros((comp.nz,), dtype)
-    Z = jnp.broadcast_to(z0_flat, (B, comp.nz))
 
-    if mesh is not None:
-        keys_all = mesh.shard_sims(keys_all)
-        Z = mesh.shard_sims(Z, field=True)
+    # memory-bounded lane chunks: each chunk is padded to a uniform size
+    # (one compiled shape) and carries its global lane ids so the data
+    # lane is recognized wherever it falls
+    step_sz = B if max_batch is None else min(max_batch, B)
+    bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
+
+    def _pad(arr, width):
+        pad = width - arr.shape[0]
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
+        return arr
+
+    keys_chunks, Z_chunks, lane_chunks = [], [], []
+    for s0, e0 in bounds:
+        kc = _pad(keys_all[s0:e0], step_sz)
+        zc = jnp.broadcast_to(z0_flat, (step_sz, comp.nz))
+        lc = _pad(jnp.arange(s0, e0), step_sz)
+        if mesh is not None:
+            kc = mesh.shard_sims(kc)
+            zc = mesh.shard_sims(zc, field=True)
+            lc = mesh.shard_sims(lc)
+        keys_chunks.append(kc)
+        Z_chunks.append(zc)
+        lane_chunks.append(lc)
 
     pbar = ProgressReporter(maxsteps - len(history), "MUSE",
                             enabled=progress)
@@ -163,13 +185,30 @@ def muse_fit(
                 if math.sqrt(max(metric, 0.0)) < theta_rtol:
                     break
 
-            out = comp.muse_step(jnp.asarray(th, dtype),
-                                 jnp.asarray(th_t, dtype),
-                                 keys_all, Z,
-                                 jnp.asarray(grad_z_atol, dtype))
-            Z = out["Z"]
-            g = np.asarray(out["g"], np.float64)[:B]    # (nsims+1, nθ)
-            g_t = np.asarray(out["g_t"], np.float64)[:B]
+            g_parts, g_t_parts, conv_parts, fail_parts, it_parts = \
+                [], [], [], [], []
+            zhat_dat = None
+            for ci, ((s0, e0), kc, lc) in enumerate(
+                    zip(bounds, keys_chunks, lane_chunks)):
+                out = comp.muse_step(jnp.asarray(th, dtype),
+                                     jnp.asarray(th_t, dtype),
+                                     kc, Z_chunks[ci], lc,
+                                     jnp.asarray(grad_z_atol, dtype))
+                Z_chunks[ci] = out["Z"]
+                c = e0 - s0
+                g_parts.append(np.asarray(out["g"], np.float64)[:c])
+                g_t_parts.append(np.asarray(out["g_t"], np.float64)[:c])
+                conv_parts.append(np.asarray(out["converged"])[:c])
+                fail_parts.append(np.asarray(out["failed"])[:c])
+                it_parts.append(np.atleast_1d(
+                    np.asarray(out.get("iterations", 0)))[:c])
+                if ci == 0:
+                    zhat_dat = np.asarray(out["Z"][0])
+            g = np.concatenate(g_parts)                 # (nsims+1, nθ)
+            g_t = np.concatenate(g_t_parts)
+            out = {"converged": np.concatenate(conv_parts),
+                   "failed": np.concatenate(fail_parts),
+                   "iterations": np.concatenate(it_parts)}
             g_dat, g_sims = g[0], g[1:]
             g_dat_t, g_sims_t = g_t[0], g_t[1:]
 
@@ -223,12 +262,11 @@ def muse_fit(
                 "Hinv_post_t": Hinv_post, "H_prior_t": H_prior_t,
                 "Hinv_like_t": Hinv_like,
                 "Hinv_like_sims_t": Hinv_like_sims,
-                "map_converged": np.asarray(out["converged"])[:B],
-                "map_failed": np.asarray(out["failed"])[:B],
-                "map_iterations": np.atleast_1d(
-                    np.asarray(out.get("iterations", 0)))[:B],
+                "map_converged": out["converged"],
+                "map_failed": out["failed"],
+                "map_iterations": out["iterations"],
                 "t": t,
-                "zhat_dat": save_maps(np.asarray(Z[0])),
+                "zhat_dat": save_maps(zhat_dat),
             })
             _warn_maps(out, i, B)
 

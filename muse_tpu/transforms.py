@@ -23,7 +23,7 @@ needed — XLA fuses these into surrounding ops).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -171,3 +171,12 @@ def test_max_batch_chunking_matches_unchunked(prob):
     get_H(r2, prob, 0.0, nsims=3, max_batch=2)
     np.testing.assert_allclose(np.asarray(r1.Hs), np.asarray(r2.Hs),
                                rtol=1e-4)
+
+
+def test_muse_loop_max_batch_matches(prob):
+    """Chunked muse-loop lanes (memory-bounded) are bit-identical."""
+    key = jax.random.PRNGKey(12)
+    r1 = muse(prob, 1.0, nsims=14, maxsteps=4, key=key)
+    r2 = muse(prob, 1.0, nsims=14, maxsteps=4, key=key, max_batch=5)
+    np.testing.assert_allclose(r1.theta, r2.theta, rtol=1e-6)
+    assert len(r1.history) == len(r2.history)
