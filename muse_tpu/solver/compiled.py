@@ -91,6 +91,22 @@ class CompiledProblem:
         zf, _ = ravel_pytree(z)
         return x, zf.astype(self.dtype)
 
+    def _sample_batch(self, keys, th_flat):
+        """Batched forward sampling with a fusion barrier on the outputs.
+
+        The barrier forces the sampled fields to materialize before any
+        consumer: without it, XLA's TPU backend fuses the sampler's
+        irfft2 into downstream rfft2 consumers and, at large batch
+        (observed at B=128×1024², not at B=17), MIScompiles the chain —
+        every per-sim score came out scaled by ×0.903, biasing θ̂ by
+        ~50σ.  Verified: identical graph with the intermediate
+        materialized is exact.  One HBM round-trip of x, which the MAP
+        solve needs resident anyway.
+        """
+        xs, Zs = jax.vmap(self._sample_flat, in_axes=(0, None))(keys,
+                                                                th_flat)
+        return jax.lax.optimization_barrier((xs, Zs))
+
     def _zhat_guess_flat(self, x, z_flat, th_flat):
         g = self.problem.zhat_guess_from_truth(
             x, self.unravel_z(z_flat), self.spec.unflatten(th_flat))
@@ -157,8 +173,7 @@ class CompiledProblem:
             # solver can process the lane axis in memory-bounded chunks
             # (src/muse.jl's whole-sims pmap has no such need; a 513-lane
             # 1024² batch exceeds one chip's HBM).
-            xs_all, _ = jax.vmap(self._sample_flat, in_axes=(0, None))(
-                keys_all, th)
+            xs_all, _ = self._sample_batch(keys_all, th)
             lane = lane_ids
 
             def mix(o, s):
@@ -183,7 +198,7 @@ class CompiledProblem:
         """get_J per-sim pipeline: sample at θ₀, MAP warm-started from the
         *true* z, untransformed θ-gradient (src/muse.jl:510-513)."""
         def run(keys, th, atol):
-            xs, Zs = jax.vmap(self._sample_flat, in_axes=(0, None))(keys, th)
+            xs, Zs = self._sample_batch(keys, th)
             Z, aux = self._solve_maps(xs, Zs, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             return {"g": g, **aux}
@@ -194,7 +209,7 @@ class CompiledProblem:
         """get_H fiducial fits: sims at θ₀, MAP from ẑ_guess_from_truth
         (src/muse.jl:417-423)."""
         def run(keys, th, atol):
-            xs, Zs = jax.vmap(self._sample_flat, in_axes=(0, None))(keys, th)
+            xs, Zs = self._sample_batch(keys, th)
             Z0 = jax.vmap(self._zhat_guess_flat, in_axes=(0, 0, None))(
                 xs, Zs, th)
             Z, aux = self._solve_maps(xs, Z0, th, atol)
@@ -229,16 +244,25 @@ class CompiledProblem:
                                       (nsims, ntheta, ns) + keys.shape[1:])
             flat_keys = keys_b.reshape((-1,) + keys.shape[1:])
             flat_th = th_pert.reshape((-1, ntheta))
+            M = nsims * ntheta * ns
+            if M % 2 == 0:
+                # odd total lane count (even batched-FFT lane counts are
+                # unsafe on the TPU backend — utils/fft_check.py)
+                flat_keys = jnp.concatenate([flat_keys, flat_keys[-1:]])
+                flat_th = jnp.concatenate([flat_th, flat_th[-1:]])
             xs, _ = jax.vmap(self._sample_flat)(flat_keys, flat_th)
             Z0 = jnp.broadcast_to(Zfid[:, None, None, :],
                                   (nsims, ntheta, ns, self.nz)
                                   ).reshape((-1, self.nz))
+            if M % 2 == 0:
+                Z0 = jnp.concatenate([Z0, Z0[-1:]])
             Z, aux = self._solve_maps(xs, Z0, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
-            g = g.reshape((nsims, ntheta, ns, ntheta))
+            g = g[:M].reshape((nsims, ntheta, ns, ntheta))
             return {"g": g,
-                    "converged": aux["converged"].reshape(nsims, ntheta, ns),
-                    "failed": aux["failed"].reshape(nsims, ntheta, ns)}
+                    "converged": aux["converged"][:M].reshape(
+                        nsims, ntheta, ns),
+                    "failed": aux["failed"][:M].reshape(nsims, ntheta, ns)}
         return jax.jit(run)
 
     @functools.cached_property

@@ -29,6 +29,19 @@ def finalize_result(result: MuseResult, comp) -> MuseResult:
     H_prior = -np.atleast_2d(np.asarray(
         comp.prior_hess_u(jnp.asarray(th, comp.dtype)), np.float64))
 
+    # Sanity: for a well-specified model at θ̂, J ≈ H ≈ Fisher.  A large
+    # mismatch usually means per-sim MAP-solution error is leaking into
+    # the score variance (tighten grad_z_atol) or the model is badly
+    # misspecified.  (Diagnosed on the 1024² GRF: loose CG tolerance
+    # inflated J 40× over H and silently shrank the Newton steps.)
+    ratio = np.diag(J) / np.maximum(np.abs(np.diag(H)), 1e-30)
+    if (ratio > 25.0).any() or (ratio < 0.04).any():
+        import warnings
+        warnings.warn(
+            f"J/H diagonal ratio is {ratio} — expected O(1) at θ̂. "
+            "Suspect MAP solutions too loose (tighten grad_z_atol) or "
+            "model misspecification; σθ may be unreliable.")
+
     result.Sigma_inv = H.T @ np.linalg.inv(J) @ H + H_prior
     result.Sigma = np.linalg.inv(result.Sigma_inv)
 

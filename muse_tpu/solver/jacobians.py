@@ -60,15 +60,20 @@ def _key_chunks(keys, max_batch, mesh):
     """
     import jax.numpy as jnp
 
+    from ..utils.fft_check import safe_lane_count
+
     n = keys.shape[0]
     step = n if max_batch is None else max_batch
+    # odd padded width off-mesh: even batched-FFT lane counts are unsafe
+    # on the TPU backend (muse_tpu/utils/fft_check.py)
+    width = step if mesh is not None else safe_lane_count(step)
     for i in range(0, n, step):
         chunk = keys[i:i + step]
         c = chunk.shape[0]
-        if c < step and max_batch is not None:
+        if c < width:
             chunk = jnp.concatenate(
                 [chunk,
-                 jnp.broadcast_to(chunk[-1:], (step - c,) + chunk.shape[1:])])
+                 jnp.broadcast_to(chunk[-1:], (width - c,) + chunk.shape[1:])])
         if mesh is not None:
             chunk = mesh.shard_sims(chunk)
         yield chunk, c

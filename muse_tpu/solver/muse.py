@@ -140,12 +140,18 @@ def muse_fit(
 
     # memory-bounded lane chunks: each chunk is padded to a uniform size
     # (one compiled shape) and carries its global lane ids so the data
-    # lane is recognized wherever it falls
+    # lane is recognized wherever it falls.  Without a mesh the padded
+    # width is rounded to an ODD lane count — many even batch sizes hit
+    # a miscompiled fused batched-FFT on the TPU backend (silent ~30%
+    # power deficit; see muse_tpu/utils/fft_check.py); with a mesh the
+    # width must instead divide the device grid (mesh.shard_sims pads).
+    from ..utils.fft_check import safe_lane_count
     step_sz = B if max_batch is None else min(max_batch, B)
+    width = step_sz if mesh is not None else safe_lane_count(step_sz)
     bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
 
-    def _pad(arr, width):
-        pad = width - arr.shape[0]
+    def _pad(arr, w):
+        pad = w - arr.shape[0]
         if pad:
             arr = jnp.concatenate(
                 [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
@@ -153,9 +159,9 @@ def muse_fit(
 
     keys_chunks, Z_chunks, lane_chunks = [], [], []
     for s0, e0 in bounds:
-        kc = _pad(keys_all[s0:e0], step_sz)
-        zc = jnp.broadcast_to(z0_flat, (step_sz, comp.nz))
-        lc = _pad(jnp.arange(s0, e0), step_sz)
+        kc = _pad(keys_all[s0:e0], width)
+        zc = jnp.broadcast_to(z0_flat, (width, comp.nz))
+        lc = _pad(jnp.arange(s0, e0), width)
         if mesh is not None:
             kc = mesh.shard_sims(kc)
             zc = mesh.shard_sims(zc, field=True)

@@ -1,0 +1,63 @@
+"""Runtime FFT-integrity checking and lane-count hygiene.
+
+On the TPU backend used for this framework's development (v5e via the
+axon remote-compile path, jax 0.9/XLA), batched 2D FFTs of 1024² fields
+are MIScompiled when (a) the FFT output is consumed by fused ops rather
+than materialized as a graph output AND (b) the batch size is one of many
+*even* values (16, 24, 32, 40, 48, 64, 80, 96, 112, 120, 128 measured
+broken; 2, 4, 8, 56 and every odd batch tested — 15, 17, 33, 101 —
+measured correct; 256² is unaffected at any batch).  The corruption is a
+deterministic ~30% power deficit in the transformed field — it silently
+biased θ̂ by ~50σ on the 1024² benchmark before diagnosis.
+``jax.lax.optimization_barrier`` does NOT prevent it.
+
+Mitigation used by the solver: keep device lane counts ODD (pad one
+dummy lane).  This module provides the empirical self-check so any
+platform/shape can be validated directly, plus the lane-count helper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fused_fft_ok", "safe_lane_count"]
+
+
+@functools.lru_cache(maxsize=None)
+def fused_fft_ok(n: int, batch: int) -> bool:
+    """Empirically check the fused batched-FFT pattern at (n², batch).
+
+    Compares ``sum(irfft2(√C·rfft2(U))²)`` computed with the FFT fused
+    into the reduction vs with the FFT materialized.  Cached per shape.
+    """
+    C = jnp.asarray(
+        (np.hypot(np.fft.fftfreq(n)[:, None] * n,
+                  np.fft.rfftfreq(n)[None, :] * n) + 1.0) ** -2.0,
+        jnp.float32)
+    U = jax.random.normal(jax.random.PRNGKey(0), (batch, n, n))
+
+    def chain(Ub):
+        return jnp.fft.irfft2(jnp.sqrt(C) * jnp.fft.rfft2(Ub, axes=(-2, -1)),
+                              s=(n, n), axes=(-2, -1))
+
+    fused = jax.jit(lambda Ub: jnp.sum(chain(Ub) ** 2, axis=(-2, -1)))
+    mat = jax.jit(chain)
+    f = np.asarray(fused(U))
+    r = np.asarray(jnp.sum(mat(U) ** 2, axis=(-2, -1)))
+    return bool(np.allclose(f, r, rtol=1e-3))
+
+
+def safe_lane_count(b: int) -> int:
+    """Round a device lane count up to the nearest safe (odd) value.
+
+    Odd batches are the empirically safe family for the fused batched-FFT
+    bug (module docstring); tiny batches (≤8 except 16-multiples) also
+    measured safe, but odd-padding everywhere is one dummy lane at most
+    and keeps the rule simple.  Callers compute real lanes [:b] and
+    discard the pad.
+    """
+    return b if b % 2 == 1 else b + 1

@@ -81,15 +81,20 @@ def test_grf_tilt_vector_theta():
 
 def test_analytic_theta_gradient_matches_ad():
     """The ∇θ_logLike override (src/interface.jl:56-58 analog) must match
-    jax.grad of log_like."""
+    jax.grad of log_like at the MAP (its closed form is exact-MAP)."""
     for tilt in (False, True):
         p = grf_problem(n=32, infer_tilt=tilt,
                         data_key=jax.random.PRNGKey(42))
+        cfg = p.grf_config
         th = jnp.array([0.3, 0.1]) if tilt else 0.3
-        x, u = p.sample_x_z(jax.random.PRNGKey(7), th)
+        x, _ = p.sample_x_z(jax.random.PRNGKey(7), th)
+        # exact Wiener MAP for this x at th
+        C = cfg.spectrum(th)
+        uf = jnp.sqrt(C) * jnp.fft.rfft2(x) / (cfg.sigma_noise ** 2 + C)
+        u = jnp.fft.irfft2(uf, s=(32, 32))
         ga = np.asarray(p.grad_theta_log_like(x, u, th))
         gad = np.asarray(jax.grad(lambda t: p.log_like(x, u, t))(th))
-        np.testing.assert_allclose(ga, gad, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(ga, gad, rtol=1e-3, atol=1e-4)
 
 
 def test_preconditioned_cg_matches_plain():
@@ -107,3 +112,16 @@ def test_preconditioned_cg_matches_plain():
     np.testing.assert_allclose(np.asarray(pcg.x), np.asarray(plain.x),
                                rtol=1e-3, atol=1e-4)
     assert int(pcg.iterations.max()) < int(plain.iterations.max())
+
+
+def test_high_snr_parity_with_mle():
+    """Informative config (σ_noise=0.01): MUSE θ̂ and σθ must track the
+    exact marginal MLE — the regression test for the CG absolute-vs-
+    relative tolerance bug (σθ was 5× off before the fix)."""
+    p = grf_problem(n=64, sigma_noise=0.01, solver="cg",
+                    data_key=jax.random.PRNGKey(42))
+    mle, sig = grf_marginal_mle(p.x, p.grf_config)
+    res = muse(p, 0.2, nsims=60, maxsteps=40, theta_rtol=1e-4,
+               key=jax.random.PRNGKey(1), get_covariance=True)
+    assert abs(float(res.theta[0]) - mle) < 3 * sig
+    assert 0.5 < float(res.sigma[0]) / sig < 2.0
