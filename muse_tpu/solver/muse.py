@@ -119,6 +119,7 @@ def muse_fit(
     th_unreg, th_t_unreg = th.copy(), th_t.copy()
 
     alpha_fn = alpha if callable(alpha) else (lambda i, a=alpha: a)
+    save_sims_maps = save_maps is not False
     if save_maps is True:
         save_maps = lambda z: np.asarray(z)
     elif save_maps is False:
@@ -194,6 +195,7 @@ def muse_fit(
             g_parts, g_t_parts, conv_parts, fail_parts, it_parts = \
                 [], [], [], [], []
             zhat_dat = None
+            zhat_sims_parts = []
             for ci, ((s0, e0), kc, lc) in enumerate(
                     zip(bounds, keys_chunks, lane_chunks)):
                 out = comp.muse_step(jnp.asarray(th, dtype),
@@ -210,6 +212,10 @@ def muse_fit(
                     np.asarray(out.get("iterations", 0)))[:c])
                 if ci == 0:
                     zhat_dat = np.asarray(out["Z"][0])
+                if save_sims_maps:
+                    c0 = 1 if ci == 0 else 0   # skip the data lane
+                    zhat_sims_parts.append(
+                        np.asarray(out["Z"][c0:e0 - s0]))
             g = np.concatenate(g_parts)                 # (nsims+1, nθ)
             g_t = np.concatenate(g_t_parts)
             out = {"converged": np.concatenate(conv_parts),
@@ -273,6 +279,9 @@ def muse_fit(
                 "map_iterations": out["iterations"],
                 "t": t,
                 "zhat_dat": save_maps(zhat_dat),
+                # per-sim MAPs (src/muse.jl:219 ẑ_sims = save_MAPs.(ẑ_sims))
+                "zhat_sims": (save_maps(np.concatenate(zhat_sims_parts))
+                              if save_sims_maps else None),
             })
             _warn_maps(out, i, B)
 

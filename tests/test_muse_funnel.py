@@ -180,3 +180,10 @@ def test_muse_loop_max_batch_matches(prob):
     r2 = muse(prob, 1.0, nsims=14, maxsteps=4, key=key, max_batch=5)
     np.testing.assert_allclose(r1.theta, r2.theta, rtol=1e-6)
     assert len(r1.history) == len(r2.history)
+
+
+def test_save_maps_stores_sims_too(prob):
+    res = muse(prob, 1.0, nsims=5, maxsteps=2, save_maps=True,
+               key=jax.random.PRNGKey(13))
+    zs = res.history[0]["zhat_sims"]
+    assert zs is not None and zs.shape == (5, DIM)
