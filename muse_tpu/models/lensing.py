@@ -113,11 +113,15 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     cfg_p = GrfConfig(n, sigma_noise, gamma_phi, 1.0, False)
     s2 = sigma_noise ** 2
 
-    # normalize the φ spectrum so rms|∇φ| = defl_scale pixels at θ=0
-    u0 = jax.random.normal(jax.random.PRNGKey(17), (n, n))
-    phi0 = cfg_p.apply_sqrtC(u0, 0.0)
-    dx0, dy0 = gradient_field(phi0)
-    rms0 = float(jnp.sqrt(jnp.mean(dx0 ** 2 + dy0 ** 2)))
+    # normalize the φ spectrum so rms|∇φ| = defl_scale pixels at θ=0:
+    # E[|∇φ|²] = (1/n²) Σ_modes (kx²+ky²) C_φ(k) — exact, host-side
+    # (init-time constant; also avoids eager device complex math, which
+    # some TPU backends don't implement).
+    ky = np.fft.fftfreq(n)[:, None] * 2 * np.pi
+    kx = np.fft.rfftfreq(n)[None, :] * 2 * np.pi
+    C0 = np.asarray(cfg_p.spectrum(0.0), np.float64)
+    w = np.asarray(cfg_p.herm_weight, np.float64)
+    rms0 = float(np.sqrt(np.sum(w * (kx ** 2 + ky ** 2) * C0) / n ** 2))
     phi_norm = defl_scale / max(rms0, 1e-12)
 
     def _amps(theta):
@@ -159,7 +163,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         theta_true = jnp.zeros((2,)) if infer_z_amp else 0.0
     if x_obs is None:
         data_key = jax.random.PRNGKey(42) if data_key is None else data_key
-        x_obs, _ = sample_x_z(data_key, theta_true)
+        # jit: eager complex arithmetic is unimplemented on some backends
+        x_obs, _ = jax.jit(sample_x_z)(data_key, jnp.asarray(theta_true))
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              zhat_guess_from_truth=zhat_guess)

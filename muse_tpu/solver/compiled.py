@@ -62,9 +62,12 @@ class CompiledProblem:
                 "TPUs emulate f64 slowly — prefer float32 on device with "
                 "the host-side float64 outer loop, which is the default).")
 
-        # Discover z's pytree structure / flat size from one example draw.
-        x0, z0 = problem.sample_x_z(jax.random.PRNGKey(0),
-                                    spec.unflatten(jnp.asarray(theta0_flat)))
+        # Discover z's pytree structure / flat size from one example draw
+        # (jitted: eager complex arithmetic is unimplemented on some TPU
+        # backends, and user models freely use it).
+        x0, z0 = jax.jit(lambda k, t: problem.sample_x_z(
+            k, spec.unflatten(t)))(jax.random.PRNGKey(0),
+                                   jnp.asarray(theta0_flat))
         z_flat, self.unravel_z = ravel_pytree(z0)
         self.nz = int(z_flat.shape[0])
         self.x_obs = jax.tree.map(
