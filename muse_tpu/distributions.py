@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "Distribution", "Normal", "LogNormal", "Uniform", "Exponential",
-    "MvNormal", "MvNormalDiag",
+    "Distribution", "Normal", "LogNormal", "HalfNormal", "Uniform",
+    "Exponential", "Gamma", "Beta", "StudentT", "MvNormal", "MvNormalDiag",
 ]
 
 _LOG2PI = float(np.log(2.0 * np.pi))
@@ -145,6 +145,101 @@ class Exponential(Distribution):
 
     def log_prob(self, x):
         return jnp.log(self.rate) - self.rate * x
+
+
+@dataclasses.dataclass(frozen=True)
+class HalfNormal(Distribution):
+    scale: jnp.ndarray = 1.0
+    support = "positive"
+
+    @property
+    def shape(self):
+        return jnp.shape(self.scale)
+
+    def sample(self, key, shape=None):
+        shape = self.shape if shape is None else tuple(shape)
+        return jnp.abs(self.scale * jax.random.normal(
+            key, shape, dtype=jnp.result_type(float)))
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return (-0.5 * (z * z + _LOG2PI) + jnp.log(2.0)
+                - jnp.log(self.scale))
+
+
+@dataclasses.dataclass(frozen=True)
+class Gamma(Distribution):
+    concentration: jnp.ndarray = 1.0
+    rate: jnp.ndarray = 1.0
+    support = "positive"
+
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.concentration),
+                                    jnp.shape(self.rate))
+
+    def sample(self, key, shape=None):
+        shape = self.shape if shape is None else tuple(shape)
+        g = jax.random.gamma(key, jnp.broadcast_to(self.concentration,
+                                                   shape),
+                             dtype=jnp.result_type(float))
+        return g / self.rate
+
+    def log_prob(self, x):
+        a, b = self.concentration, self.rate
+        return (a * jnp.log(b) + (a - 1) * jnp.log(x) - b * x
+                - jax.scipy.special.gammaln(a))
+
+
+@dataclasses.dataclass(frozen=True)
+class Beta(Distribution):
+    a: jnp.ndarray = 1.0
+    b: jnp.ndarray = 1.0
+    support = "unit_interval"
+
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.a), jnp.shape(self.b))
+
+    def sample(self, key, shape=None):
+        shape = self.shape if shape is None else tuple(shape)
+        return jax.random.beta(key, jnp.broadcast_to(self.a, shape),
+                               jnp.broadcast_to(self.b, shape),
+                               dtype=jnp.result_type(float))
+
+    def log_prob(self, x):
+        a, b = self.a, self.b
+        return ((a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x)
+                - (jax.scipy.special.gammaln(a)
+                   + jax.scipy.special.gammaln(b)
+                   - jax.scipy.special.gammaln(a + b)))
+
+
+@dataclasses.dataclass(frozen=True)
+class StudentT(Distribution):
+    df: jnp.ndarray = 1.0
+    loc: jnp.ndarray = 0.0
+    scale: jnp.ndarray = 1.0
+    support = "real"
+
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.df), jnp.shape(self.loc),
+                                    jnp.shape(self.scale))
+
+    def sample(self, key, shape=None):
+        shape = self.shape if shape is None else tuple(shape)
+        t = jax.random.t(key, self.df, shape,
+                         dtype=jnp.result_type(float))
+        return self.loc + self.scale * t
+
+    def log_prob(self, x):
+        v = self.df
+        z = (x - self.loc) / self.scale
+        return (jax.scipy.special.gammaln((v + 1) / 2)
+                - jax.scipy.special.gammaln(v / 2)
+                - 0.5 * jnp.log(v * jnp.pi) - jnp.log(self.scale)
+                - ((v + 1) / 2) * jnp.log1p(z * z / v))
 
 
 @dataclasses.dataclass(frozen=True)

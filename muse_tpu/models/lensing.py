@@ -169,4 +169,14 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              zhat_guess_from_truth=zhat_guess)
     prob.lensing_n = n
+
+    # Wiener-informed warm start for the muse loop's cold start: treat the
+    # data as unlensed and invert the whitening for u_z; φ starts at 0.
+    # Pass as muse(..., z0=prob.suggested_z0) — cuts the first iteration's
+    # L-BFGS work substantially (later iterations warm-start anyway).
+    Cz = np.asarray(cfg_z.spectrum(0.0), np.float64)
+    xf = np.fft.rfft2(np.asarray(x_obs, np.float64))
+    uz0 = np.fft.irfft2(np.sqrt(Cz) * xf / (Cz + s2), s=(n, n))
+    prob.suggested_z0 = {"uphi": jnp.zeros((n, n), jnp.float32),
+                         "uz": jnp.asarray(uz0, jnp.float32)}
     return prob

@@ -17,6 +17,10 @@ KEY = jax.random.PRNGKey(0)
     (dist.LogNormal(0.1, 0.7), st.lognorm(0.7, scale=np.exp(0.1))),
     (dist.Uniform(-1.0, 3.0), st.uniform(-1.0, 4.0)),
     (dist.Exponential(1.7), st.expon(scale=1 / 1.7)),
+    (dist.HalfNormal(1.5), st.halfnorm(scale=1.5)),
+    (dist.Gamma(2.5, 1.3), st.gamma(2.5, scale=1 / 1.3)),
+    (dist.Beta(2.0, 3.5), st.beta(2.0, 3.5)),
+    (dist.StudentT(4.0, 0.5, 1.2), st.t(4.0, loc=0.5, scale=1.2)),
 ])
 def test_log_prob_matches_scipy(d, sp):
     x = np.asarray(d.sample(KEY, (100,)))
