@@ -78,3 +78,17 @@ def test_end_to_end_amplitude_recovery(prob):
     assert np.isfinite(res.Sigma).all()
     # warm-started MAPs converge by the later iterations
     assert res.history[-1]["map_converged"].all()
+
+
+def test_suggested_z0_warm_start(prob):
+    z0 = prob.suggested_z0
+    assert set(z0) == {"uphi", "uz"}
+    res = muse(prob, 0.5, nsims=10, maxsteps=3, z0=z0,
+               key=jax.random.PRNGKey(2))
+    assert np.isfinite(res.theta).all()
+    # the informed start must not be slower than the zero start on the
+    # first iteration's MAP solves
+    res0 = muse(prob, 0.5, nsims=10, maxsteps=3,
+                key=jax.random.PRNGKey(2))
+    assert (res.history[0]["map_iterations"].max()
+            <= res0.history[0]["map_iterations"].max() + 50)
