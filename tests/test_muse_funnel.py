@@ -187,3 +187,9 @@ def test_save_maps_stores_sims_too(prob):
                key=jax.random.PRNGKey(13))
     zs = res.history[0]["zhat_sims"]
     assert zs is not None and zs.shape == (5, DIM)
+
+
+def test_progress_reporting_smoke(prob, capsys):
+    res = muse(prob, 1.0, nsims=5, maxsteps=2, progress=True,
+               key=jax.random.PRNGKey(14))
+    assert len(res.history) == 2
