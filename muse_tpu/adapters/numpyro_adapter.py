@@ -126,8 +126,11 @@ class NumpyroMuseProblem(MuseProblem):
             tf = self._site_tf[n]
             zc = tf(jnp.asarray(z[n]))   # unconstrained -> constrained
             values[n] = zc
-            # linked density: + log|det d unconstrained/d constrained|
-            ldj = ldj + jnp.sum(tf.inv.log_abs_det_jacobian(zc, z[n]))
+            # linked density in unconstrained space:
+            #   log p_u(u) = log p_c(c) + log|det dc/du|
+            # (ppl.py:249 convention; numpyro's potential_energy likewise
+            # adds the forward-direction jacobian).
+            ldj = ldj + jnp.sum(tf.log_abs_det_jacobian(z[n], zc))
         for n in sorted(self.observed):
             values[n] = jnp.asarray(x[n])
         sub = nph.substitute(self.model, data=values)

@@ -43,6 +43,14 @@ class Distribution:
         """Broadcast parameters to ``shape`` (i.i.d. batch)."""
         return _Expanded(self, tuple(shape))
 
+    def bijector(self):
+        """Support bijector (constrained → unconstrained) for this
+        distribution's actual support, bounds included.  The PPL links
+        latents and hypers through this (Turing's link machinery analog,
+        reference src/turing.jl:142-153)."""
+        from .transforms import from_support
+        return from_support(self.support)
+
     def _param_shape(self):
         return self.shape
 
@@ -65,6 +73,9 @@ class _Expanded(Distribution):
 
     def log_prob(self, x):
         return self.base.log_prob(x)
+
+    def bijector(self):
+        return self.base.bijector()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +123,17 @@ class LogNormal(Distribution):
 class Uniform(Distribution):
     lo: jnp.ndarray = 0.0
     hi: jnp.ndarray = 1.0
-    support = "unit_interval"
+
+    @property
+    def support(self):  # type: ignore[override]
+        if np.shape(self.lo) == () and np.shape(self.hi) == () \
+                and float(self.lo) == 0.0 and float(self.hi) == 1.0:
+            return "unit_interval"
+        return "interval"
+
+    def bijector(self):
+        from .transforms import Logit
+        return Logit(self.lo, self.hi)
 
     @property
     def shape(self):

@@ -138,7 +138,9 @@ def deterministic(name: str, value):
 # --------------------------------------------------------------------- #
 
 def _bij_for(dist: Distribution):
-    return tf.from_support(dist.support)
+    # the distribution's own bijector carries support *bounds* (e.g. a
+    # Uniform(2, 5) latent links through Logit(2, 5), not Logit(0, 1))
+    return dist.bijector()
 
 
 def _site_logpdf(site) -> jnp.ndarray:

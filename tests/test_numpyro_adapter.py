@@ -1,0 +1,239 @@
+"""NumpyroMuseProblem contract tests against a stub numpyro (VERDICT r1
+item 2): every adapter method executes end-to-end, with exact parity
+against the built-in PPL (muse_tpu.ppl) on twin models.
+
+The stub (tests/numpyro_stub.py) reproduces numpyro's handler and
+transform semantics while delegating distribution math to
+muse_tpu.distributions with identical per-site key derivation, so the
+numpyro model and its ppl twin are *the same generative process* —
+sample_x_z must match bit-for-bit and log_like to float32 roundoff.
+
+Reference analog: the Soss adapter tests (test/runtests.jl:39-85) run the
+same funnel through a second PPL frontend and assert identical behavior.
+"""
+
+import importlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_tpu import check_self_consistency, muse
+from muse_tpu import ppl
+from muse_tpu import transforms as mtf
+from muse_tpu.distributions import LogNormal as MLogNormal
+from muse_tpu.distributions import Normal as MNormal
+from muse_tpu.distributions import Uniform as MUniform
+
+import numpyro_stub
+
+D = 64
+
+
+@pytest.fixture(scope="module")
+def na():
+    mod = numpyro_stub.install()
+    yield mod
+    numpyro_stub.uninstall()
+
+
+@pytest.fixture(scope="module")
+def stub(na):
+    return sys.modules["numpyro"]
+
+
+# ------------------------------------------------------------------ #
+# twin models: positive hyper (sigma), positive latent (z),
+# interval latent (w) — exercises Identity/Exp/SigmoidAffine transforms,
+# the latent volume factor, and _BlockwiseBiject.
+# ------------------------------------------------------------------ #
+
+def _np_model_factory(stub):
+    npd = stub.distributions
+
+    def model():
+        theta = stub.sample("theta", npd.Normal(0.0, 3.0))
+        sigma = stub.sample("sigma", npd.LogNormal(0.0, 0.5))
+        z = stub.sample("z", npd.LogNormal(theta / 2, 1.0).expand((D,)))
+        w = stub.sample("w", npd.Uniform(2.0, 5.0))
+        stub.sample("x", npd.Normal(jnp.log(z), sigma))
+        stub.sample("y", npd.Normal(w, 0.5))
+
+    return model
+
+
+def _ppl_model():
+    theta = ppl.sample("theta", MNormal(0.0, 3.0))
+    sigma = ppl.sample("sigma", MLogNormal(0.0, 0.5))
+    z = ppl.sample("z", MLogNormal(theta / 2, 1.0).expand((D,)))
+    w = ppl.sample("w", MUniform(2.0, 5.0))
+    ppl.sample("x", MNormal(jnp.log(z), sigma))
+    ppl.sample("y", MNormal(w, 0.5))
+
+
+@pytest.fixture(scope="module")
+def obs():
+    with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(42)), \
+            ppl.substitute({"theta": 0.3, "sigma": 1.1}):
+        _ppl_model()
+    return {"x": tr.sites["x"]["value"], "y": tr.sites["y"]["value"]}
+
+
+@pytest.fixture(scope="module")
+def probs(na, stub, obs):
+    p_np = na.NumpyroMuseProblem(_np_model_factory(stub),
+                                 observed=obs,
+                                 params=("theta", "sigma"))
+    p_ppl = ppl.PPLMuseProblem(_ppl_model, observed=obs,
+                               params=("theta", "sigma"))
+    return p_np, p_ppl
+
+
+THETA = {"theta": 0.3, "sigma": 1.1}
+
+
+class TestConstruction:
+    def test_site_classification(self, probs):
+        p_np, p_ppl = probs
+        assert p_np.latent_vars == ("z", "w") == p_ppl.latent_vars
+        assert p_np.site_order == p_ppl.site_order
+        assert p_np.theta_bijector is not None
+
+    def test_unknown_param_raises(self, na, stub, obs):
+        with pytest.raises(ValueError, match="not sites"):
+            na.NumpyroMuseProblem(_np_model_factory(stub),
+                                  observed=obs, params=("nope",))
+
+    def test_unknown_observed_raises(self, na, stub):
+        with pytest.raises(ValueError, match="not model sites"):
+            na.NumpyroMuseProblem(_np_model_factory(stub),
+                                  observed={"q": jnp.zeros(3)})
+
+    def test_identity_hypers_skip_bijector(self, na, stub):
+        npd = stub.distributions
+
+        def m():
+            theta = stub.sample("theta", npd.Normal(0.0, 3.0))
+            z = stub.sample("z", npd.Normal(theta, 1.0).expand((8,)))
+            stub.sample("x", npd.Normal(z, 1.0))
+
+        p = na.NumpyroMuseProblem(m, observed={"x": jnp.zeros(8)},
+                                  params=("theta",))
+        assert p.theta_bijector is None
+
+
+class TestParityWithBuiltinPPL:
+    def test_sample_x_z_bit_parity(self, probs):
+        p_np, p_ppl = probs
+        key = jax.random.PRNGKey(7)
+        (x1, z1), (x2, z2) = (p_np.sample_x_z(key, THETA),
+                              p_ppl.sample_x_z(key, THETA))
+        for k in x1:
+            np.testing.assert_array_equal(np.asarray(x1[k]),
+                                          np.asarray(x2[k]))
+        assert set(z1) == set(z2) == {"z", "w"}
+        for k in z1:
+            np.testing.assert_allclose(np.asarray(z1[k]),
+                                       np.asarray(z2[k]), rtol=1e-6)
+
+    def test_log_like_parity(self, probs):
+        p_np, p_ppl = probs
+        key = jax.random.PRNGKey(7)
+        x, z = p_ppl.sample_x_z(key, THETA)
+        l1 = float(p_np.log_like(x, z, THETA))
+        l2 = float(p_ppl.log_like(x, z, THETA))
+        assert np.isfinite(l1)
+        assert l1 == pytest.approx(l2, rel=1e-5)
+
+    def test_log_like_grad_z_parity(self, probs):
+        """The MAP-solve gradient — volume-factor sign errors show up
+        here (ADVICE r1 high-severity fix)."""
+        p_np, p_ppl = probs
+        key = jax.random.PRNGKey(3)
+        x, z = p_ppl.sample_x_z(key, THETA)
+        g1 = jax.grad(lambda zz: p_np.log_like(x, zz, THETA))(z)
+        g2 = jax.grad(lambda zz: p_ppl.log_like(x, zz, THETA))(z)
+        for k in g1:
+            np.testing.assert_allclose(np.asarray(g1[k]),
+                                       np.asarray(g2[k]),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_log_prior_parity(self, probs):
+        p_np, p_ppl = probs
+        l1 = float(p_np.log_prior(THETA))
+        l2 = float(p_ppl.log_prior(THETA))
+        assert l1 == pytest.approx(l2, rel=1e-6)
+
+    def test_theta_bijector_contract(self, probs):
+        """_BlockwiseBiject round-trip + logdet vs the in-repo Blockwise
+        (sorted params: sigma→Log/Exp, theta→Identity)."""
+        p_np, _ = probs
+        b = p_np.theta_bijector
+        ref = mtf.Blockwise([mtf.Log(), mtf.Identity()], [1, 1])
+        th = jnp.array([1.1, 0.3])  # sorted order: (sigma, theta)
+        y = b.forward(th)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref.forward(th)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(th),
+                                   rtol=1e-6)
+        assert float(b.log_det_jacobian(th)) == pytest.approx(
+            float(ref.log_det_jacobian(th)), rel=1e-6)
+
+
+def test_latent_volume_factor_sign(na, stub):
+    """Direct oracle for the ADVICE r1 high-severity bug: for a LogNormal
+    latent, the linked (unconstrained-space) density is the density of
+    u = log z_c, i.e. Normal(loc, scale) — check log_like against the
+    closed form."""
+    npd = stub.distributions
+
+    def m():
+        theta = stub.sample("theta", npd.Normal(0.0, 3.0))
+        z = stub.sample("z", npd.LogNormal(theta, 2.0))
+        stub.sample("x", npd.Normal(jnp.log(z), 1.0))
+
+    p = na.NumpyroMuseProblem(m, observed={"x": jnp.asarray(0.7)},
+                              params=("theta",))
+    th, u, xv = 0.4, jnp.asarray(1.3), 0.7
+    got = float(p.log_like({"x": jnp.asarray(xv)}, {"z": u}, {"theta": th}))
+    want = (float(MNormal(th, 2.0).log_prob(u))          # linked latent
+            + float(MNormal(u, 1.0).log_prob(xv))        # obs given u
+            + float(MNormal(0.0, 3.0).log_prob(th)))     # θ prior site
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_self_consistency(probs):
+    p_np, _ = probs
+    assert check_self_consistency(p_np, THETA)
+
+
+def test_end_to_end_muse_parity(probs):
+    """Full pipeline through the numpyro adapter matches the built-in PPL
+    run (same CRN keys, same generative process) and passes the
+    reference's z-score oracle."""
+    p_np, p_ppl = probs
+    kw = dict(nsims=20, maxsteps=12, get_covariance=True,
+              key=jax.random.PRNGKey(1))
+    r1 = muse(p_np, {"theta": 1.0, "sigma": 1.0}, **kw)
+    r2 = muse(p_ppl, {"theta": 1.0, "sigma": 1.0}, **kw)
+    np.testing.assert_allclose(np.asarray(r1.theta), np.asarray(r2.theta),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.sigma), np.asarray(r2.sigma),
+                               rtol=1e-2, atol=1e-3)
+    # flat θ is in sorted-key order: (sigma, theta) = (1.1, 0.3)
+    zscores = np.abs(r1.theta - np.array([1.1, 0.3])) / r1.sigma
+    assert (zscores < 3).all()
+
+
+def test_gating_restored_after_uninstall():
+    """uninstall() returns the adapter to its ImportError-gated state."""
+    mod = numpyro_stub.install()
+    assert mod.HAVE_NUMPYRO
+    numpyro_stub.uninstall()
+    import muse_tpu.adapters.numpyro_adapter as na2
+    na2 = importlib.reload(na2)
+    if not na2.HAVE_NUMPYRO:
+        with pytest.raises(ImportError, match="PPLMuseProblem"):
+            na2.NumpyroMuseProblem(lambda: None, observed={})

@@ -156,6 +156,42 @@ def test_model_problem_infers_params(x_obs):
     assert p.params == ("theta",)
 
 
+def test_non_unit_uniform_latent():
+    """Regression (ADVICE r1): a Uniform(2,5) latent used to link through
+    Logit(0,1) → NaN in sample_x_z / log_like.  It must link through
+    Logit(2,5) and stay finite + self-consistent."""
+    def m():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        w = ppl.sample("w", Uniform(2.0, 5.0))
+        ppl.sample("x", Normal(theta + w, 1.0).expand((16,)))
+
+    p = ppl.PPLMuseProblem(m, observed={"x": 3.0 * np.ones(16)},
+                           params=("theta",))
+    x, z = p.sample_x_z(jax.random.PRNGKey(0), {"theta": 0.5})
+    assert np.isfinite(np.asarray(z["w"])).all()
+    ll = float(p.log_like(x, z, {"theta": 0.5}))
+    assert np.isfinite(ll)
+    assert check_self_consistency(p, {"theta": 0.5})
+
+
+def test_non_unit_uniform_hyper():
+    """A Uniform(2,5) hyper gets a Logit(2,5) θ-bijector with a finite
+    volume factor at θ inside the bounds."""
+    def m():
+        s = ppl.sample("s", Uniform(2.0, 5.0))
+        z = ppl.sample("z", Normal(0.0, s).expand((16,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    p = ppl.PPLMuseProblem(m, observed={"x": np.zeros(16)}, params=("s",))
+    assert p.theta_bijector is not None
+    th = jnp.array([3.0])
+    y = p.theta_bijector.forward(th)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(np.asarray(p.theta_bijector.inverse(y)),
+                               np.asarray(th), rtol=1e-6)
+    assert check_self_consistency(p, {"s": 3.0})
+
+
 def test_soss_convention_volume_factor(x_obs):
     """volume_factor=False (Soss convention, has_volume_factor=false in
     the reference tests) must also pass self-consistency."""
