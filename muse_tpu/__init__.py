@@ -30,11 +30,11 @@ from .solver.jacobians import get_H, get_J
 from .solver.muse import muse, muse_fit
 from .theta import ThetaSpec
 from . import distributions, ppl, transforms
-from .ppl import PPLMuseProblem
+from .ppl import PPLMuseProblem, model_problem
 
 __all__ = [
-    "MuseProblem", "SimpleMuseProblem", "PPLMuseProblem", "MuseResult",
-    "load_result", "muse", "muse_fit", "get_J", "get_H",
+    "MuseProblem", "SimpleMuseProblem", "PPLMuseProblem", "model_problem",
+    "MuseResult", "load_result", "muse", "muse_fit", "get_J", "get_H",
     "check_self_consistency", "ThetaSpec", "distributions", "ppl",
     "transforms",
 ]

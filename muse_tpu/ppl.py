@@ -45,7 +45,7 @@ from .distributions import Distribution
 from .problem import MuseProblem
 
 __all__ = ["sample", "deterministic", "trace", "seed", "substitute",
-           "PPLMuseProblem"]
+           "PPLMuseProblem", "model_problem"]
 
 _HANDLER_STACK: list = []
 

@@ -79,8 +79,14 @@ class MuseResult:
     # ----------------------- checkpointing ------------------------ #
 
     def save(self, filename: str):
-        state = dataclasses.asdict(self)
+        # shallow per-field state (dataclasses.asdict would deep-convert
+        # the nested frozen-dataclass ``dist`` into a plain dict with no
+        # sample/log_prob); dist is dropped and rebuilt on load from
+        # θ̂/Σ, exactly as finalize_result builds it
+        state = {f.name: getattr(self, f.name)
+                 for f in dataclasses.fields(self)}
         state.pop("_spec")           # closures don't pickle; rebuilt by solver
+        state["dist"] = None
         state = _to_numpy(state)
         with open(filename, "wb") as f:
             pickle.dump(state, f)
@@ -89,7 +95,17 @@ class MuseResult:
     def load(cls, filename: str) -> "MuseResult":
         with open(filename, "rb") as f:
             state = pickle.load(f)
-        return cls(**state, _spec=None)
+        state.pop("dist", None)
+        res = cls(**state, _spec=None)
+        if res.Sigma is not None and res.theta is not None:
+            from .distributions import MvNormal, Normal
+            th = np.atleast_1d(np.asarray(res.theta, np.float64))
+            S = np.atleast_2d(np.asarray(res.Sigma, np.float64))
+            if th.size == 1:
+                res.dist = Normal(float(th[0]), float(np.sqrt(S[0, 0])))
+            else:
+                res.dist = MvNormal(th, 0.5 * (S + S.T))
+        return res
 
 
 def _to_numpy(obj):

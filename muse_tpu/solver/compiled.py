@@ -283,6 +283,19 @@ class CompiledProblem:
         here: jvp-of-grad for the HVP, jax.scipy CG for the solve.  The
         whole per-sim computation vmaps over the sims axis.
         """
+        return self.h_implicit_with(None)
+
+    def h_implicit_with(self, precond=None):
+        """``h_implicit`` with an optional CG preconditioner — the
+        reference's ``Pl`` hook (``implicit_diff_cg_kwargs``,
+        src/muse.jl:312,380-384).  ``precond(w, x, th_flat)`` must return
+        an approximation of A⁻¹w (A = −∇z² logLike, SPD at the MAP) on
+        flat z vectors; it is threaded to ``jax.scipy.sparse.linalg.cg``'s
+        ``M``.  Jitted functions are cached per preconditioner."""
+        cache = self.__dict__.setdefault("_h_implicit_cache", {})
+        if precond in cache:
+            return cache[precond]
+
         def one_sim(key, th, atol, cg_maxiter, cg_tol, h1_is_zero):
             x, z = self._sample_flat(key, th)
             z_start = self._zhat_guess_flat(x, z, th)
@@ -318,9 +331,12 @@ class CompiledProblem:
                 _, hv = jax.jvp(lambda zz: grad_z(x, zz, th), (zhat,), (w,))
                 return -hv
 
+            M = (None if precond is None
+                 else (lambda w: precond(w, x, th)))
+
             def solve_col(b):
                 y, _ = jax.scipy.sparse.linalg.cg(
-                    neg_hvp, -b, maxiter=cg_maxiter, tol=cg_tol)
+                    neg_hvp, -b, maxiter=cg_maxiter, tol=cg_tol, M=M)
                 return y
 
             Ainv_dFdth1 = jax.vmap(solve_col, in_axes=1, out_axes=1)(dFdth1)
@@ -336,7 +352,9 @@ class CompiledProblem:
             return jax.vmap(
                 lambda k: one_sim(k, th, atol, cg_maxiter, cg_tol,
                                   h1_is_zero))(keys)
-        return jax.jit(run, static_argnames=("cg_maxiter", "h1_is_zero"))
+        fn = jax.jit(run, static_argnames=("cg_maxiter", "h1_is_zero"))
+        cache[precond] = fn
+        return fn
 
     # ------------------------------------------------------------ #
     # tiny θ-space derivatives (prior / transforms)

@@ -37,6 +37,7 @@ import numpy as np
 from ..problem import MuseProblem
 from ..result import MuseResult
 from ..utils.keys import as_key, sim_keys
+from ..utils.progress import ProgressReporter
 from .compiled import CompiledProblem
 from .covariance import finalize_result
 
@@ -64,9 +65,11 @@ def _key_chunks(keys, max_batch, mesh):
 
     n = keys.shape[0]
     step = n if max_batch is None else max_batch
-    # odd padded width off-mesh: even batched-FFT lane counts are unsafe
-    # on the TPU backend (muse_tpu/utils/fft_check.py)
-    width = step if mesh is not None else safe_lane_count(step)
+    # odd *per-device* padded width: even batched-FFT lane counts are
+    # unsafe on the TPU backend (muse_tpu/utils/fft_check.py); under a
+    # mesh the width is a device-count multiple with odd shards
+    width = safe_lane_count(step,
+                            mesh.n_sims_shards if mesh is not None else 1)
     for i in range(0, n, step):
         chunk = keys[i:i + step]
         c = chunk.shape[0]
@@ -124,11 +127,18 @@ def get_J(
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
         g_parts, failed_parts = [], []
-        for chunk, c in _key_chunks(keys, max_batch, mesh):
-            out = comp.j_sims(chunk, jnp.asarray(th, dtype),
-                              jnp.asarray(grad_z_atol, dtype))
-            g_parts.append(np.asarray(out["g"], np.float64)[:c])
-            failed_parts.append(np.asarray(out["failed"])[:c])
+        # per-sim progress ticks, one per completed device chunk (the
+        # RemoteProgress analog, src/muse.jl:507)
+        pbar = ProgressReporter(nsims_remaining, "get_J", enabled=progress)
+        try:
+            for chunk, c in _key_chunks(keys, max_batch, mesh):
+                out = comp.j_sims(chunk, jnp.asarray(th, dtype),
+                                  jnp.asarray(grad_z_atol, dtype))
+                g_parts.append(np.asarray(out["g"], np.float64)[:c])
+                failed_parts.append(np.asarray(out["failed"])[:c])
+                pbar.step(inc=c)
+        finally:
+            pbar.close()
         g = np.concatenate(g_parts)
         failed = np.concatenate(failed_parts)
         if failed.any():
@@ -162,6 +172,7 @@ def get_H(
     implicit_diff_H1_is_zero: bool = False,
     implicit_diff_cg_maxiter: int = 100,
     implicit_diff_cg_tol: float = 1e-6,
+    implicit_diff_precond=None,
     implicit_fit_atol: float = 1e-1,
     max_batch=None,
     mesh=None,
@@ -175,6 +186,13 @@ def get_H(
     ``central_fdm(3,1)`` has no JAX analog, but its role (controlling FD
     truncation error) is covered by the 0.1σ default step plus the
     implicit-diff mode, which is exact and is the recommended mode here.
+
+    ``implicit_diff_precond`` is the reference's ``Pl`` CG-preconditioner
+    hook (``implicit_diff_cg_kwargs``, src/muse.jl:312,380-384): a callable
+    ``(w, x, theta_flat) -> M⁻¹ w`` applied to flat z-space vectors inside
+    the per-column CG solves (jax.scipy cg's ``M``).  For ill-conditioned
+    z-Hessians (lensing, explicit-C GRF) this is the difference between H
+    converging within ``implicit_diff_cg_maxiter`` or not.
     """
     spec, th, key, comp = _setup(result, problem, theta0, key, dtype,
                                  compiled)
@@ -189,14 +207,20 @@ def get_H(
 
     if implicit_diff:
         H_parts, resid_parts = [], []
-        for chunk, c in _key_chunks(keys, max_batch, mesh):
-            Hs_c, resid_c = comp.h_implicit(
-                chunk, jnp.asarray(th, dtype),
-                jnp.asarray(implicit_fit_atol, dtype),
-                implicit_diff_cg_maxiter, implicit_diff_cg_tol,
-                implicit_diff_H1_is_zero)
-            H_parts.append(np.asarray(Hs_c, np.float64)[:c])
-            resid_parts.append(np.asarray(resid_c)[:c])
+        h_impl = comp.h_implicit_with(implicit_diff_precond)
+        pbar = ProgressReporter(nsims_remaining, "get_H", enabled=progress)
+        try:
+            for chunk, c in _key_chunks(keys, max_batch, mesh):
+                Hs_c, resid_c = h_impl(
+                    chunk, jnp.asarray(th, dtype),
+                    jnp.asarray(implicit_fit_atol, dtype),
+                    implicit_diff_cg_maxiter, implicit_diff_cg_tol,
+                    implicit_diff_H1_is_zero)
+                H_parts.append(np.asarray(Hs_c, np.float64)[:c])
+                resid_parts.append(np.asarray(resid_c)[:c])
+                pbar.step(inc=c)
+        finally:
+            pbar.close()
         Hs = np.concatenate(H_parts)
         resid = np.concatenate(resid_parts)
         bad = ~np.isfinite(Hs).all(axis=(1, 2))
@@ -235,16 +259,26 @@ def get_H(
             raise ValueError("fd_order must be 2 or 4")
 
         g_parts, failed_parts = [], []
-        for chunk, c in _key_chunks(keys, max_batch, mesh):
-            fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
-                                  jnp.asarray(grad_z_atol, dtype))
-            out = comp.h_fd(chunk, jnp.asarray(th, dtype),
-                            jnp.asarray(step, dtype), fid["Z"],
-                            jnp.asarray(grad_z_atol, dtype),
-                            jnp.asarray(offsets, dtype))
-            g_parts.append(np.asarray(out["g"], np.float64)[:c])
-            failed_parts.append(
-                np.asarray(out["failed"])[:c].any(axis=(1, 2)))
+        # progress in the reference's units — nsims·(1+nθ·stencil) MAP
+        # solves (src/muse.jl:325): 1 fiducial tick + nθ·S FD ticks per sim
+        units_per_sim = 1 + ntheta * len(offsets)
+        pbar = ProgressReporter(nsims_remaining * units_per_sim, "get_H",
+                                enabled=progress)
+        try:
+            for chunk, c in _key_chunks(keys, max_batch, mesh):
+                fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
+                                      jnp.asarray(grad_z_atol, dtype))
+                pbar.step(inc=c, msg="fiducial fits")
+                out = comp.h_fd(chunk, jnp.asarray(th, dtype),
+                                jnp.asarray(step, dtype), fid["Z"],
+                                jnp.asarray(grad_z_atol, dtype),
+                                jnp.asarray(offsets, dtype))
+                g_parts.append(np.asarray(out["g"], np.float64)[:c])
+                failed_parts.append(
+                    np.asarray(out["failed"])[:c].any(axis=(1, 2)))
+                pbar.step(inc=c * ntheta * len(offsets), msg="FD columns")
+        finally:
+            pbar.close()
         g = np.concatenate(g_parts)            # (nsims, nθ, S, nθ)
         # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
         Hs = np.einsum("njsi,s->nji", g, weights) / step[None, :, None]

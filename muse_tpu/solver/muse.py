@@ -44,8 +44,22 @@ from .compiled import CompiledProblem
 __all__ = ["muse", "muse_fit"]
 
 
-def muse(problem: MuseProblem, theta0, **kwargs) -> MuseResult:
-    """One-shot MUSE estimate (``muse`` wrapper, src/muse.jl:107)."""
+def muse(problem, theta0, *, observed=None, **kwargs) -> MuseResult:
+    """One-shot MUSE estimate (``muse`` wrapper, src/muse.jl:107).
+
+    ``problem`` may also be a PPL model *function* — the direct-on-model
+    overload (``muse!(result, model, θ₀)``, src/turing.jl:248-256): pass
+    ``observed={site: value}`` and the hyper sites are inferred from the
+    keys of ``theta0`` (``ppl.model_problem``)."""
+    if callable(problem) and not isinstance(problem, MuseProblem):
+        if observed is None:
+            raise ValueError(
+                "muse(model_fn, θ₀) needs observed={site: value} to "
+                "condition the model (the `model | (;x)` analog)")
+        from ..ppl import model_problem
+        problem = model_problem(problem, theta0, observed=observed)
+    elif observed is not None:
+        raise ValueError("observed= is only valid with a model function")
     return muse_fit(MuseResult(), problem, theta0, **kwargs)
 
 
@@ -141,14 +155,16 @@ def muse_fit(
 
     # memory-bounded lane chunks: each chunk is padded to a uniform size
     # (one compiled shape) and carries its global lane ids so the data
-    # lane is recognized wherever it falls.  Without a mesh the padded
-    # width is rounded to an ODD lane count — many even batch sizes hit
-    # a miscompiled fused batched-FFT on the TPU backend (silent ~30%
-    # power deficit; see muse_tpu/utils/fft_check.py); with a mesh the
-    # width must instead divide the device grid (mesh.shard_sims pads).
+    # lane is recognized wherever it falls.  The padded width keeps the
+    # *per-device* lane count ODD — many even batch sizes hit a
+    # miscompiled fused batched-FFT on the TPU backend (silent ~30%
+    # power deficit; see muse_tpu/utils/fft_check.py).  With a mesh the
+    # width is additionally a multiple of the sims-axis device count so
+    # mesh.shard_sims adds no further (even-making) padding.
     from ..utils.fft_check import safe_lane_count
     step_sz = B if max_batch is None else min(max_batch, B)
-    width = step_sz if mesh is not None else safe_lane_count(step_sz)
+    width = safe_lane_count(step_sz,
+                            mesh.n_sims_shards if mesh is not None else 1)
     bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
 
     def _pad(arr, w):
@@ -208,8 +224,12 @@ def muse_fit(
                 g_t_parts.append(np.asarray(out["g_t"], np.float64)[:c])
                 conv_parts.append(np.asarray(out["converged"])[:c])
                 fail_parts.append(np.asarray(out["failed"])[:c])
-                it_parts.append(np.atleast_1d(
-                    np.asarray(out.get("iterations", 0)))[:c])
+                it = np.asarray(out.get("iterations", 0))
+                # custom solvers may report no per-lane iterations —
+                # broadcast the default to the chunk's true lane count so
+                # history["map_iterations"] is always (nsims+1,)
+                it_parts.append(it[:c] if it.ndim
+                                else np.full(c, int(it)))
                 if ci == 0:
                     zhat_dat = np.asarray(out["Z"][0])
                 if save_sims_maps:
@@ -355,7 +375,3 @@ def _fmt(th):
     if th.size <= 4:
         return "[" + ", ".join(f"{v:.4g}" for v in th) + "]"
     return f"[{th[0]:.4g}, …×{th.size}]"
-
-
-def _as_np(x):
-    return np.asarray(x)

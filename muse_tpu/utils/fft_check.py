@@ -51,13 +51,21 @@ def fused_fft_ok(n: int, batch: int) -> bool:
     return bool(np.allclose(f, r, rtol=1e-3))
 
 
-def safe_lane_count(b: int) -> int:
-    """Round a device lane count up to the nearest safe (odd) value.
+def safe_lane_count(b: int, n_shards: int = 1) -> int:
+    """Round a lane count up to the nearest safe value.
 
-    Odd batches are the empirically safe family for the fused batched-FFT
-    bug (module docstring); tiny batches (≤8 except 16-multiples) also
-    measured safe, but odd-padding everywhere is one dummy lane at most
-    and keeps the rule simple.  Callers compute real lanes [:b] and
-    discard the pad.
+    Odd *per-device* batches are the empirically safe family for the fused
+    batched-FFT bug (module docstring).  ``n_shards`` is the sims-axis
+    device count: the returned width is the smallest multiple of
+    ``n_shards`` covering ``b`` whose per-device shard is odd — so under a
+    mesh every device sees an odd local batch (mesh.shard_sims pads to
+    device multiples, which would otherwise produce exactly the even
+    per-device sizes measured broken, e.g. 128/8 = 16).  Callers compute
+    real lanes [:b] and discard the pad.
     """
-    return b if b % 2 == 1 else b + 1
+    if n_shards <= 1:
+        return b if b % 2 == 1 else b + 1
+    per = -(-b // n_shards)            # ceil: lanes per device
+    if per % 2 == 0:
+        per += 1
+    return per * n_shards

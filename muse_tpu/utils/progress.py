@@ -30,12 +30,12 @@ class ProgressReporter:
             except ImportError:
                 pass
 
-    def step(self, msg: str = ""):
-        self.n += 1
+    def step(self, msg: str = "", inc: int = 1):
+        self.n += inc
         if not self.enabled:
             return
         if self._tqdm is not None:
-            self._tqdm.update(1)
+            self._tqdm.update(inc)
             if msg:
                 self._tqdm.set_postfix_str(msg)
         else:

@@ -125,3 +125,14 @@ def test_high_snr_parity_with_mle():
                key=jax.random.PRNGKey(1), get_covariance=True)
     assert abs(float(res.theta[0]) - mle) < 3 * sig
     assert 0.5 < float(res.sigma[0]) / sig < 2.0
+
+
+def test_custom_solver_map_iterations_shape():
+    """Regression (ADVICE r1): solvers reporting no per-lane 'iterations'
+    (grf solver="direct") must still yield history['map_iterations'] of
+    length nsims+1, not one entry per chunk."""
+    p = grf_problem(n=16, solver="direct", data_key=jax.random.PRNGKey(42))
+    res = muse(p, 0.5, nsims=5, maxsteps=2, key=jax.random.PRNGKey(3),
+               max_batch=3)
+    it = np.asarray(res.history[0]["map_iterations"])
+    assert it.shape == (6,)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from muse_tpu import MuseResult, get_J, muse, muse_fit
+from muse_tpu import MuseResult, get_H, get_J, muse, muse_fit
 from muse_tpu.models import funnel_problem
 from muse_tpu.parallel import make_sims_mesh
 
@@ -18,6 +18,12 @@ from muse_tpu.parallel import make_sims_mesh
 @pytest.fixture(scope="module")
 def prob():
     return funnel_problem(64, data_key=jax.random.PRNGKey(42))
+
+
+@pytest.fixture(scope="module")
+def grf_prob():
+    from muse_tpu.models.grf import grf_problem
+    return grf_problem(n=16, solver="cg", data_key=jax.random.PRNGKey(42))
 
 
 def test_eight_virtual_devices():
@@ -65,3 +71,63 @@ def test_sims_by_field_mesh(prob):
     res = muse(prob, 1.0, nsims=8, maxsteps=3, mesh=mesh,
                key=jax.random.PRNGKey(4))
     assert np.isfinite(res.theta).all()
+
+
+def test_sharded_get_H_fd_matches(prob):
+    """get_H FD mode under a mesh must match the unsharded result — the
+    sims-sharded keys reshape into nsims·nθ·stencil lanes inside h_fd
+    (pmap_over=:sims analog, src/muse.jl:326-333)."""
+    key = jax.random.PRNGKey(5)
+    r1, r2 = MuseResult(), MuseResult()
+    get_H(r1, prob, 0.0, key=key, nsims=4, step=0.1)
+    get_H(r2, prob, 0.0, key=key, nsims=4, step=0.1,
+          mesh=make_sims_mesh())
+    np.testing.assert_allclose(r1.H, r2.H, rtol=1e-3)
+
+
+def test_sharded_get_H_implicit_matches(prob):
+    key = jax.random.PRNGKey(6)
+    r1, r2 = MuseResult(), MuseResult()
+    get_H(r1, prob, 0.0, key=key, nsims=4, implicit_diff=True)
+    get_H(r2, prob, 0.0, key=key, nsims=4, implicit_diff=True,
+          mesh=make_sims_mesh())
+    np.testing.assert_allclose(r1.H, r2.H, rtol=1e-3)
+
+
+def test_sharded_grf_muse_matches(grf_prob):
+    """The flagship FFT model, sims-sharded: full muse loop parity
+    (GSPMD × batched FFT × the odd-per-device-lane rule)."""
+    key = jax.random.PRNGKey(7)
+    r1 = muse(grf_prob, 0.5, nsims=15, maxsteps=4, key=key)
+    r2 = muse(grf_prob, 0.5, nsims=15, maxsteps=4, key=key,
+              mesh=make_sims_mesh())
+    np.testing.assert_allclose(r2.theta, r1.theta, rtol=1e-4, atol=1e-5)
+    assert len(r1.history) == len(r2.history)
+
+
+def test_sharded_grf_J_and_H_match(grf_prob):
+    key = jax.random.PRNGKey(8)
+    mesh = make_sims_mesh()
+    j1, j2 = MuseResult(), MuseResult()
+    get_J(j1, grf_prob, 0.0, key=key, nsims=9)
+    get_J(j2, grf_prob, 0.0, key=key, nsims=9, mesh=mesh)
+    np.testing.assert_allclose(j1.J, j2.J, rtol=1e-3)
+    get_H(j1, grf_prob, 0.0, key=key, nsims=3, step=0.1)
+    get_H(j2, grf_prob, 0.0, key=key, nsims=3, step=0.1, mesh=mesh)
+    np.testing.assert_allclose(j1.H, j2.H, rtol=1e-3)
+
+
+def test_mesh_chunk_widths_are_odd_per_device(prob):
+    """The odd-lane FFT rule must hold per device under a mesh
+    (ADVICE r1: 128 lanes / 8 devices = 16/device was exactly the broken
+    family).  safe_lane_count(·, n_shards) is what the solver consults."""
+    from muse_tpu.utils.fft_check import safe_lane_count
+    for b in (7, 16, 25, 128):
+        w = safe_lane_count(b, 8)
+        assert w >= b and w % 8 == 0 and (w // 8) % 2 == 1
+    # and the solver paths accept a mesh together with max_batch chunking
+    key = jax.random.PRNGKey(9)
+    r1 = muse(prob, 1.0, nsims=10, maxsteps=3, key=key)
+    r2 = muse(prob, 1.0, nsims=10, maxsteps=3, key=key,
+              mesh=make_sims_mesh(), max_batch=6)
+    np.testing.assert_allclose(r1.theta, r2.theta, rtol=1e-5)

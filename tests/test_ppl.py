@@ -156,6 +156,26 @@ def test_model_problem_infers_params(x_obs):
     assert p.params == ("theta",)
 
 
+def test_model_problem_exported():
+    import muse_tpu
+    assert "model_problem" in muse_tpu.__all__
+    assert "model_problem" in ppl.__all__
+    assert muse_tpu.model_problem is ppl.model_problem
+
+
+def test_muse_direct_on_model(x_obs):
+    """muse(model_fn, θ₀, observed=...) — the muse!(result, model, θ₀)
+    direct-on-model overload analog (src/turing.jl:248-256)."""
+    res = muse(funnel, {"theta": 1.0}, observed={"x": x_obs},
+               nsims=10, maxsteps=3, key=jax.random.PRNGKey(5))
+    assert np.isfinite(res.theta).all()
+    with pytest.raises(ValueError, match="observed"):
+        muse(funnel, {"theta": 1.0}, nsims=2)
+    with pytest.raises(ValueError, match="model function"):
+        p = ppl.PPLMuseProblem(funnel, observed={"x": x_obs})
+        muse(p, {"theta": 1.0}, observed={"x": x_obs}, nsims=2)
+
+
 def test_non_unit_uniform_latent():
     """Regression (ADVICE r1): a Uniform(2,5) latent used to link through
     Logit(0,1) → NaN in sample_x_z / log_like.  It must link through
