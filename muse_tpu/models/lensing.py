@@ -25,6 +25,8 @@ whitened so the MAP Hessian is I + O(signal²/σ²).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,7 +106,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                     theta_true=None, data_key=None, x_obs=None,
                     prior_std: float = 3.0,
                     solver: str = "varpro", gn_cg_maxiter: int = 50,
-                    gn_max_outer: int = 100) -> SimpleMuseProblem:
+                    gn_max_outer: int = 100,
+                    varpro_m: Optional[int] = None) -> SimpleMuseProblem:
     """Build the lensing-style MUSE problem (see module docstring).
 
     θ (scalar, or 2-vector with ``infer_z_amp``) is the log-amplitude of
@@ -155,7 +158,7 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     sqCz = jnp.sqrt(cfg_z.spectrum(0.0))
     sqCp = jnp.sqrt(cfg_p.spectrum(0.0))
 
-    def _forward(uz, uphi, theta):
+    def _lens_parts(uz, uphi, theta):
         # z-derived and φ-derived lanes ride SEPARATE irfft2 calls: the
         # VarPro solver transposes this function w.r.t. uz with
         # jax.linear_transpose, which requires products like dx·zx to be
@@ -173,9 +176,26 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         z, zx, zy = jnp.fft.irfft2(s1, s=(n, n), axes=(-2, -1))
         zxx, zyy, zxy = jnp.fft.irfft2(s2, s=(n, n), axes=(-2, -1))
         dx, dy, _ = jnp.fft.irfft2(sp, s=(n, n), axes=(-2, -1))
-        return (z + dx * zx + dy * zy
-                + 0.5 * (dx * dx * zxx + 2 * dx * dy * zxy
-                         + dy * dy * zyy))
+        lin = dx * zx + dy * zy
+        quad = dx * dx * zxx + 2 * dx * dy * zxy + dy * dy * zyy
+        return z + lin + 0.5 * quad, lin, quad
+
+    def _forward(uz, uphi, theta):
+        return _lens_parts(uz, uphi, theta)[0]
+
+    def grad_theta(x, u, theta):
+        """Analytic ∂θ log_like (exact; the ∇θ_logLike override).
+
+        d ∝ a_φ = e^{θ₀/2} ⇒ ∂F/∂θ₀ = ½(d·∇z) + ½(dᵀ∇∇z d); every term
+        of F carries one factor of z ∝ a_z = e^{θ₁/2} ⇒ ∂F/∂θ₁ = F/2.
+        One fused forward pass replaces AD's forward+reverse sweep."""
+        F, lin, quad = _lens_parts(u["uz"], u["uphi"], theta)
+        r = x - F
+        g0 = jnp.sum(r * (lin + quad)) / (2 * s2)
+        if not infer_z_amp:
+            return g0 if jnp.ndim(theta) == 0 else jnp.array([g0])
+        g1 = jnp.sum(r * F) / (2 * s2)
+        return jnp.array([g0, g1])
 
     def sample_x_z(key, theta):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -285,22 +305,44 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                 s=(n, n), axes=(-2, -1)).reshape(B, -1)
 
         n2 = n * n
+        # m bounds the dominant memory term (2·m·B·n² floats of outer
+        # L-BFGS history — at 1024², 33 lanes, m=10 is ~10 GB and OOMs a
+        # 16 GB chip).  Default: full history at small n (one hard lane
+        # at strong lensing measurably benefits), short history at
+        # memory-bound field sizes (the reduced problem converges in
+        # tens of iterations, so the accuracy cost is nil).
+        m_eff = varpro_m if varpro_m is not None else (10 if n < 512
+                                                       else 5)
         res = batched_varpro(
             obs_op, xs, Z0[:, :n2], Z0[:, n2:], sigma2=s2, g_atol=atol,
             max_outer=gn_max_outer, inner_maxiter=gn_cg_maxiter,
-            precond_lin=precond_lin)
+            m=m_eff, precond_lin=precond_lin)
         Z = jnp.concatenate([res.u_nl, res.z_lin], -1)
 
-        pol = batched_newton_cg(
-            _vg_full(xs, th_flat), Z, g_atol=atol,
-            max_outer=80, cg_maxiter=gn_cg_maxiter,
-            precond=_precond2(th_flat))
-        aux = {"converged": pol.converged,
-               "failed": res.failed & pol.failed,
-               "iterations": res.iterations + pol.iterations,
-               "cg_iterations": res.inner_iterations + pol.cg_iterations,
-               "g_norm": pol.g_norm, "neg_logp": pol.f}
-        return pol.z, aux
+        # polish only when VarPro left stragglers: lax.cond skips the
+        # whole Newton phase (incl. its init f/g evaluation) at runtime
+        # when every lane already satisfies the tolerance
+        def run_polish(Zc):
+            pol = batched_newton_cg(
+                _vg_full(xs, th_flat), Zc, g_atol=atol,
+                max_outer=80, cg_maxiter=gn_cg_maxiter,
+                precond=_precond2(th_flat))
+            return (pol.z, pol.converged, res.failed & pol.failed,
+                    pol.iterations, pol.cg_iterations, pol.g_norm, pol.f)
+
+        def skip_polish(Zc):
+            zero = jnp.zeros_like(res.iterations)
+            return (Zc, res.converged, res.failed, zero, zero,
+                    res.g_norm, res.f)
+
+        Zf, conv, fail, pits, pcg, gnorm, fobj = jax.lax.cond(
+            jnp.all(res.converged | res.failed), skip_polish, run_polish,
+            Z)
+        aux = {"converged": conv, "failed": fail,
+               "iterations": res.iterations + pits,
+               "cg_iterations": res.inner_iterations + pcg,
+               "g_norm": gnorm, "neg_logp": fobj}
+        return Zf, aux
 
     custom = {"gn": zhat_newton, "newton": zhat_newton,
               "varpro": zhat_varpro, "lbfgs": None}[solver]
@@ -314,7 +356,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              zhat_guess_from_truth=zhat_guess,
-                             custom_zhat=custom)
+                             custom_zhat=custom,
+                             grad_theta_log_like=grad_theta)
     prob.lensing_n = n
 
     # Wiener-informed warm start for the muse loop's cold start: treat the
