@@ -360,6 +360,23 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                              grad_theta_log_like=grad_theta)
     prob.lensing_n = n
 
+    def h_precond(w, x, th_flat):
+        """Ready-made CG preconditioner for implicit-diff get_H (the Pl
+        hook, src/muse.jl:312): the single-sim Fourier-diagonal
+        approximation of (−∇z² logLike)⁻¹ — pass as
+        ``get_H(..., implicit_diff=True, implicit_diff_precond=
+        prob.suggested_h_precond)``."""
+        a_phi, a_z = _amps(th_flat)
+        gz2 = (a_z ** 2) * jnp.sum(wh * k2_grid * Cz0) / n ** 2
+        Mz = 1.0 + (a_z ** 2) * Cz0 / s2
+        Mp = 1.0 + (phi_norm * a_phi) ** 2 * k2_grid * Cp0 * gz2 / s2
+        u = w.reshape(2, n, n)
+        op = jnp.fft.irfft2(jnp.fft.rfft2(u[0]) / Mp, s=(n, n))
+        oz = jnp.fft.irfft2(jnp.fft.rfft2(u[1]) / Mz, s=(n, n))
+        return jnp.stack([op, oz]).reshape(-1)
+
+    prob.suggested_h_precond = h_precond
+
     # Wiener-informed warm start for the muse loop's cold start: treat the
     # data as unlensed and invert the whitening for u_z; φ starts at 0.
     # Pass as muse(..., z0=prob.suggested_z0) — cuts the first iteration's

@@ -82,6 +82,26 @@ def _key_chunks(keys, max_batch, mesh):
         yield chunk, c
 
 
+def _as_problem(problem, theta0, observed):
+    """Direct-on-model overload shared by get_J/get_H: a bare PPL model
+    function + ``observed={site: value}`` builds the problem on the fly
+    (the ``get_J!(result, model, θ₀)`` analog, src/turing.jl:248-256,
+    src/soss.jl:145-153)."""
+    if callable(problem) and not isinstance(problem, MuseProblem):
+        if observed is None:
+            raise ValueError(
+                "get_J/get_H on a model function needs observed={site: "
+                "value} to condition the model (the `model | (;x)` analog)")
+        if theta0 is None:
+            raise ValueError("get_J/get_H on a model function needs θ₀ "
+                             "(hyper sites are inferred from its keys)")
+        from ..ppl import model_problem
+        return model_problem(problem, theta0, observed=observed)
+    if observed is not None:
+        raise ValueError("observed= is only valid with a model function")
+    return problem
+
+
 def _setup(result: MuseResult, problem: MuseProblem, theta0, key, dtype,
            compiled: Optional[CompiledProblem]):
     theta_start = theta0 if theta0 is not None else result.theta
@@ -117,8 +137,13 @@ def get_J(
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
     progress: bool = False,
+    observed=None,
 ) -> MuseResult:
-    """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``)."""
+    """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``).
+
+    ``problem`` may also be a PPL model function with ``observed=``
+    (src/turing.jl:248-256 overload analog)."""
+    problem = _as_problem(problem, theta0, observed)
     spec, th, key, comp = _setup(result, problem, theta0, key, dtype,
                                  compiled)
     nsims_existing = len(result.gs)
@@ -179,8 +204,12 @@ def get_H(
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
     progress: bool = False,
+    observed=None,
 ) -> MuseResult:
     """Mean Jacobian of the MAP score wrt the sim-generation θ (``get_H!``).
+
+    ``problem`` may also be a PPL model function with ``observed=``
+    (src/turing.jl:248-256 overload analog).
 
     ``fd_order=2`` is plain central differences; the reference's adaptive
     ``central_fdm(3,1)`` has no JAX analog, but its role (controlling FD
@@ -193,7 +222,16 @@ def get_H(
     the per-column CG solves (jax.scipy cg's ``M``).  For ill-conditioned
     z-Hessians (lensing, explicit-C GRF) this is the difference between H
     converging within ``implicit_diff_cg_maxiter`` or not.
+
+    Tolerance note for NONLINEAR models: both modes assume converged
+    MAPs — the implicit formula needs exact stationarity of ẑ, the FD
+    mode a converged fiducial fit.  The reference-parity defaults
+    (``implicit_fit_atol=1e-1``, ``grad_z_atol=1e-2``) are fine for
+    near-Gaussian problems but bias H by ~±10% in opposite directions on
+    the lensing benchmark; at 1e-2/1e-3 the two estimators agree to 0.2%
+    (see tests/test_lensing.py::test_implicit_H_with_model_preconditioner).
     """
+    problem = _as_problem(problem, theta0, observed)
     spec, th, key, comp = _setup(result, problem, theta0, key, dtype,
                                  compiled)
     ntheta = th.shape[0]

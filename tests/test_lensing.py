@@ -80,6 +80,68 @@ def test_end_to_end_amplitude_recovery(prob):
     assert res.history[-1]["map_converged"].all()
 
 
+def test_implicit_H_with_model_preconditioner():
+    """get_H implicit-diff on the nonlinear flagship, using the model's
+    suggested Fourier-diagonal CG preconditioner; cross-checked against
+    the finite-difference estimator (both estimate the same E[dscore/dθ]).
+
+    MAP tolerances are tightened beyond the reference defaults: the
+    implicit formula assumes exact stationarity and the FD estimator a
+    converged fiducial fit, and on this nonlinear model the coarse
+    defaults bias the two estimates ±10% in OPPOSITE directions
+    (measured: fit_atol 1e-1 → 31.5, 1e-3 → 28.66; FD grad_z_atol 1e-2 →
+    26.6, 1e-3 → 28.60 — tight solves agree to 0.2%)."""
+    from muse_tpu import MuseResult, get_H, get_J
+
+    prob = lensing_problem(n=16, data_key=jax.random.PRNGKey(42))
+    res = MuseResult()
+    get_J(res, prob, 0.0, nsims=6, key=jax.random.PRNGKey(3))
+    get_H(res, prob, 0.0, nsims=3, implicit_diff=True,
+          implicit_diff_precond=prob.suggested_h_precond,
+          implicit_fit_atol=1e-2, key=jax.random.PRNGKey(4))
+    H_imp = res.H.copy()
+    resid = np.asarray(res.metadata["implicit_diff_cg_resid"])
+    assert np.isfinite(H_imp).all()
+    assert resid.max() < 1e-2    # preconditioned CG converged
+
+    res_fd = MuseResult()
+    res_fd.gs = list(res.gs)
+    get_H(res_fd, prob, 0.0, nsims=3, grad_z_atol=1e-3,
+          key=jax.random.PRNGKey(4))
+    assert abs(H_imp[0, 0] - res_fd.H[0, 0]) < 0.03 * abs(res_fd.H[0, 0])
+
+
+def test_get_J_direct_on_model():
+    """get_J accepts a bare PPL model function + observed= (the
+    get_J!(result, model, θ₀) overload, src/turing.jl:248-256)."""
+    from muse_tpu import MuseResult, get_J
+    from muse_tpu import ppl
+    from muse_tpu.distributions import Normal
+
+    def model(d=8):
+        th = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(th / 2)).expand((d,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    x = jnp.ones(8)
+    res = MuseResult()
+    get_J(res, model, {"theta": 0.5}, observed={"x": x}, nsims=4,
+          key=jax.random.PRNGKey(0))
+    assert res.J.shape == (1, 1) and np.isfinite(res.J).all()
+
+
+def test_infer_z_amp_two_theta():
+    """Joint (A_φ, A_z) inference: 2-vector θ through VarPro + the
+    analytic θ-gradient (∂F/∂θ_z = F/2 branch)."""
+    p2 = lensing_problem(n=16, infer_z_amp=True,
+                         data_key=jax.random.PRNGKey(11))
+    res = muse(p2, np.zeros(2), nsims=8, maxsteps=6,
+               key=jax.random.PRNGKey(2))
+    assert res.theta.shape == (2,)
+    assert np.isfinite(res.theta).all()
+    assert res.history[-1]["map_converged"].all()
+
+
 def test_suggested_z0_warm_start(prob):
     z0 = prob.suggested_z0
     assert set(z0) == {"uphi", "uz"}
