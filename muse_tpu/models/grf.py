@@ -188,10 +188,27 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                                 / (1.0 + C / s2), s=(n, n), axes=(-2, -1))
             return stage_flat(MR.reshape(B, -1))
 
+        # Fused spectral initialization: b, r₀ = b − A u₀, z₀ = M⁻¹r₀ and
+        # ‖b‖ are all diagonal in Fourier space (A = I + C/σ², b̂ = √C x̂/σ²,
+        # ‖b‖ by Parseval), so the whole CG initial state costs one rfft2
+        # pair + one 3-lane stacked irfft2 instead of three full
+        # transform round-trips (b, matvec(x0), precond) — 4 of the
+        # muse_step's ~9 FFT passes eliminated.  The dummy third lane
+        # keeps the flattened FFT batch odd (utils/fft_check).
         Xf = stage_full(X)
-        b = jnp.fft.irfft2(jnp.sqrt(C) * jnp.fft.rfft2(Xf, axes=(-2, -1)),
-                           s=(n, n), axes=(-2, -1)) / s2
-        bflat = stage_flat(b.reshape(B, -1))
+        xhat = jnp.fft.rfft2(Xf, axes=(-2, -1))
+        u0hat = jnp.fft.rfft2(stage_full(Z0.reshape(B, n, n)),
+                              axes=(-2, -1))
+        Adiag = 1.0 + C / s2
+        bhat = jnp.sqrt(C) * xhat / s2
+        r0hat = bhat - Adiag * u0hat
+        rz = jnp.fft.irfft2(
+            jnp.stack([r0hat, r0hat / Adiag, jnp.zeros_like(r0hat)], 1),
+            s=(n, n), axes=(-2, -1))
+        r0 = stage_flat(rz[:, 0].reshape(B, -1))
+        z0 = stage_flat(rz[:, 1].reshape(B, -1))
+        b_norm = jnp.sqrt(jnp.sum(cfg.herm_weight
+                                  * jnp.abs(bhat) ** 2, axis=(-2, -1))) / n
         # The CG residual r = b − Au equals −∇u(−log_like) exactly, so the
         # stopping rule must match the solver-wide ∇z tolerance semantics:
         # an ABSOLUTE gradient norm (reference ∇z_logLike_atol, an L∞
@@ -199,12 +216,11 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         # relative tolerance batched_cg expects.  A relative 1e-2 here
         # would be off by ‖b‖ ~ 10⁵ at high SNR and silently bias the
         # score (measured: σθ wrong by 5× at σ_noise=0.01 before this).
-        b_norm = jnp.linalg.norm(bflat, axis=-1)
         rel_tol = atol * jnp.sqrt(float(Z0.shape[1])) / jnp.maximum(
             b_norm, 1e-30)
-        res = batched_cg(matvec, bflat,
+        res = batched_cg(matvec, None,
                          stage_flat(Z0), tol=rel_tol, maxiter=cg_maxiter,
-                         precond=precond)
+                         precond=precond, r0=r0, z0=z0, b_norm=b_norm)
         aux = {"converged": res.converged,
                "failed": ~jnp.isfinite(res.r_norm),
                "iterations": res.iterations, "g_norm": res.r_norm}

@@ -36,33 +36,47 @@ class BatchedCgResult(NamedTuple):
 @partial(jax.jit, static_argnames=("matvec", "precond", "maxiter"))
 def batched_cg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
-    b: jnp.ndarray,
+    b: jnp.ndarray = None,
     x0: jnp.ndarray = None,
     *,
     tol=1e-6,
     maxiter: int = 500,
     precond: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    r0: jnp.ndarray = None,
+    z0: jnp.ndarray = None,
+    b_norm: jnp.ndarray = None,
 ) -> BatchedCgResult:
     """Solve SPD systems ``A x = b`` for a batch of lanes in lockstep.
 
     Args:
       matvec: batched SPD operator, ``(B, N) -> (B, N)``.
-      b: ``(B, N)`` right-hand sides.
+      b: ``(B, N)`` right-hand sides.  May be omitted when the caller
+        supplies the precomputed initial state instead (below).
       x0: optional warm starts.
       tol: relative residual tolerance ‖r‖/‖b‖ (scalar or ``(B,)``).
       precond: optional SPD preconditioner M⁻¹ (the ``Pl`` analog of the
         reference's IterativeSolvers CG kwargs, src/muse.jl:312).  A good
         M⁻¹ ≈ A⁻¹ collapses the iteration count — e.g. the GRF models use
         their exact Fourier-diagonal inverse and converge in ~1 step.
+      r0 / z0 / b_norm: optional precomputed initial residual ``b − A x0``,
+        preconditioned residual ``M⁻¹r0``, and ‖b‖ per lane.  Models whose
+        operator is structured (e.g. Fourier-diagonal) can build all three
+        far cheaper than the generic ``b − matvec(x0)`` + ``Minv`` path —
+        the GRF solver fuses them into one spectral round-trip.  When
+        ``r0`` is given, ``b`` is unused and ``b_norm`` is required.
     """
-    B, N = b.shape
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    tol = jnp.broadcast_to(jnp.asarray(tol, b.dtype), (B,))
+    if r0 is None:
+        assert b is not None, "batched_cg: need b (or precomputed r0)"
+        r0 = b - matvec(jnp.zeros_like(b) if x0 is None else x0)
+    if b_norm is None:
+        assert b is not None, "batched_cg: need b_norm when r0 is given"
+        b_norm = jnp.linalg.norm(b, axis=-1)
+    B, N = r0.shape
+    x0 = jnp.zeros_like(r0) if x0 is None else x0
+    tol = jnp.broadcast_to(jnp.asarray(tol, r0.dtype), (B,))
     Minv = (lambda v: v) if precond is None else precond
-
-    r0 = b - matvec(x0)
-    z0 = Minv(r0)
-    b_norm = jnp.linalg.norm(b, axis=-1)
+    if z0 is None:
+        z0 = Minv(r0)
     thresh = tol * jnp.maximum(b_norm, 1e-30)
 
     def norm(v):
