@@ -35,9 +35,14 @@ def main():
     prob = lensing_problem(n=args.n, theta_true=args.theta_true,
                            data_key=jax.random.PRNGKey(7))
 
+    # alpha=0.4 damps the first Newton step: with the crude iteration-1
+    # H⁻¹ the default 0.7 overshoots θ into the strongly-lensed regime
+    # where large-n MAP solves grind at the f32 resolution floor;
+    # max_batch bounds per-program device time at large n
     t0 = time.perf_counter()
     res = MuseResult()
     muse_fit(res, prob, 0.0, nsims=args.nsims, z0=prob.suggested_z0,
+             alpha=0.4, max_batch=(None if args.n < 128 else 33),
              key=jax.random.PRNGKey(1), progress=args.progress)
     t_fit = time.perf_counter() - t0
 

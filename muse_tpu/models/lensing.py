@@ -106,7 +106,7 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                     theta_true=None, data_key=None, x_obs=None,
                     prior_std: float = 3.0,
                     solver: str = "varpro", gn_cg_maxiter: int = 50,
-                    gn_max_outer: int = 100,
+                    gn_max_outer: Optional[int] = None,
                     varpro_m: Optional[int] = None) -> SimpleMuseProblem:
     """Build the lensing-style MUSE problem (see module docstring).
 
@@ -129,6 +129,19 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     cfg_z = GrfConfig(n, sigma_noise, gamma_z, 1.0, False)
     cfg_p = GrfConfig(n, sigma_noise, gamma_phi, 1.0, False)
     s2 = sigma_noise ** 2
+
+    # Iteration budgets scale DOWN with field size: at large n a lane
+    # whose objective sits at the f32 resolution floor (|f|·ε ≈ the
+    # requested gradient decrease — typical when the outer Newton loop
+    # overshoots θ and residuals blow up) would otherwise burn the full
+    # budget in lockstep for every lane, turning one muse_step into a
+    # multi-minute device program.  Frozen-with-warning is the designed
+    # behavior for such lanes (≈ reference non-convergence warnings,
+    # src/interface.jl:168-171); the muse loop's warm starts recover
+    # them at the next (better-damped) θ.
+    if gn_max_outer is None:
+        gn_max_outer = 100 if n < 128 else 40
+    polish_max_outer = 80 if n < 128 else 30
 
     # normalize the φ spectrum so rms|∇φ| = defl_scale pixels at θ=0:
     # E[|∇φ|²] = (1/n²) Σ_modes (kx²+ky²) C_φ(k) — exact, host-side
@@ -325,7 +338,7 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         def run_polish(Zc):
             pol = batched_newton_cg(
                 _vg_full(xs, th_flat), Zc, g_atol=atol,
-                max_outer=80, cg_maxiter=gn_cg_maxiter,
+                max_outer=polish_max_outer, cg_maxiter=gn_cg_maxiter,
                 precond=_precond2(th_flat))
             return (pol.z, pol.converged, res.failed & pol.failed,
                     pol.iterations, pol.cg_iterations, pol.g_norm, pol.f)

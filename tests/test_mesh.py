@@ -131,3 +131,24 @@ def test_mesh_chunk_widths_are_odd_per_device(prob):
     r2 = muse(prob, 1.0, nsims=10, maxsteps=3, key=key,
               mesh=make_sims_mesh(), max_batch=6)
     np.testing.assert_allclose(r1.theta, r2.theta, rtol=1e-5)
+
+
+def test_sharded_lensing_varpro_runs_close():
+    """The nonlinear flagship under GSPMD: VarPro + Newton-CG polish
+    (linear_transpose, jax.linearize, lax.cond) sims-sharded.
+
+    Unlike the convex GRF/funnel cases, bitwise θ-parity is NOT the right
+    oracle here: GSPMD reorders reductions, the f32 differences flip
+    Armijo accept/reject branches in the nonconvex MAP solves, and lanes
+    legitimately land at different g_atol-satisfying points (measured
+    θ-shift ~0.03 at n=16).  The test asserts the sharded run executes,
+    converges its MAPs, and lands statistically on the same estimate —
+    a wrong collective (the actual sharding failure mode) errs at O(1)."""
+    from muse_tpu.models.lensing import lensing_problem
+    prob = lensing_problem(n=16, data_key=jax.random.PRNGKey(42))
+    key = jax.random.PRNGKey(3)
+    r1 = muse(prob, 0.3, nsims=7, maxsteps=3, key=key)
+    r2 = muse(prob, 0.3, nsims=7, maxsteps=3, key=key,
+              mesh=make_sims_mesh())
+    assert r2.history[-1]["map_converged"].all()
+    assert abs(float(r2.theta[0]) - float(r1.theta[0])) < 0.1
