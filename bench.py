@@ -44,9 +44,31 @@ def build(n_grid, nsims, seed=0, model="grf"):
     elif model == "funnel":
         from muse_tpu.models.funnel import funnel_problem
         prob = funnel_problem(n_grid, data_key=jax.random.PRNGKey(42))
+    elif model == "ppl":
+        # hierarchical model through the PPL adapter (BASELINE config 3):
+        # same funnel math, but every density/gradient flows through the
+        # effect-handler tracing + bijector machinery — measures the
+        # adapter's overhead over raw closures
+        from muse_tpu import ppl
+        from muse_tpu.distributions import Normal
+
+        d = n_grid
+
+        def _model():
+            th = ppl.sample("theta", Normal(0.0, 3.0))
+            z = ppl.sample("z", Normal(0.0, jnp.exp(th / 2)).expand((d,)))
+            ppl.sample("x", Normal(z, 1.0))
+
+        tmp = ppl.PPLMuseProblem(_model, observed={"x": jnp.zeros(d)})
+        x_obs, _ = jax.jit(tmp.sample_x_z)(jax.random.PRNGKey(42),
+                                           {"theta": 0.0})
+        prob = ppl.model_problem(_model, {"theta": 0.0}, observed=x_obs)
+        theta_example = {"theta": 0.0}
     else:
         raise ValueError(model)
-    spec = ThetaSpec.from_example(0.0)
+    if model != "ppl":
+        theta_example = 0.0
+    spec = ThetaSpec.from_example(theta_example)
     th0 = spec.flatten(0.0)
     comp = CompiledProblem(prob, spec, th0)
 
@@ -107,7 +129,7 @@ def main():
     ap.add_argument("--grid", type=int, default=1024)
     ap.add_argument("--nsims", type=int, default=100)
     ap.add_argument("--model", default="grf",
-                    choices=["grf", "lensing", "funnel"])
+                    choices=["grf", "lensing", "funnel", "ppl"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline-lanes", type=int, default=8,
                     help="distinct sims measured one-at-a-time for the "
