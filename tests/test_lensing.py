@@ -154,3 +154,28 @@ def test_suggested_z0_warm_start(prob):
                 key=jax.random.PRNGKey(2))
     assert (res.history[0]["map_iterations"].max()
             <= res0.history[0]["map_iterations"].max() + 50)
+
+
+def test_checkpoint_resume_with_varpro(tmp_path, prob):
+    """Checkpoint/resume through the VarPro solver path: a loaded result
+    continues the Newton iteration without redoing completed steps
+    (reference resume semantics, src/muse.jl:159,234)."""
+    from muse_tpu import MuseResult, muse_fit
+    from muse_tpu.result import load_result
+
+    f = str(tmp_path / "ck.pkl")
+    r1 = MuseResult()
+    muse_fit(r1, prob, 0.5, nsims=6, maxsteps=2, checkpoint_file=f,
+             key=jax.random.PRNGKey(5))
+    assert len(r1.history) == 2
+
+    r2 = load_result(f)
+    assert len(r2.history) == 2
+    # tiny theta_rtol so the resumed run cannot declare convergence at
+    # the step-3 check and must actually iterate
+    muse_fit(r2, prob, nsims=6, maxsteps=4, theta_rtol=1e-8,
+             key=jax.random.PRNGKey(5))
+    assert len(r2.history) >= 3
+    # the resumed run's first two iterations are the checkpointed ones
+    np.testing.assert_allclose(r2.history[1]["theta"],
+                               r1.history[1]["theta"])
