@@ -136,3 +136,28 @@ def test_custom_solver_map_iterations_shape():
                max_batch=3)
     it = np.asarray(res.history[0]["map_iterations"])
     assert it.shape == (6,)
+
+
+def test_cg_solver_matches_direct_wiener():
+    """The fused spectral CG initialization (ops/cg.py r0/z0/b_norm fast
+    path) must land on the same MAP as the closed-form Wiener solve."""
+    import jax.numpy as jnp
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    spec = ThetaSpec.from_example(0.0)
+    th0 = spec.flatten(0.2)
+    comps = {}
+    for sv in ("cg", "direct"):
+        p = grf_problem(n=32, solver=sv, data_key=jax.random.PRNGKey(3))
+        comps[sv] = CompiledProblem(p, spec, th0)
+    th = jnp.asarray(th0, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    xs, _ = jax.jit(comps["cg"]._sample_batch)(keys, th)
+    Z0 = jnp.zeros((5, comps["cg"].nz), jnp.float32)
+    atol = jnp.asarray(1e-3, jnp.float32)
+    Zc, auxc = jax.jit(comps["cg"]._solve_maps)(xs, Z0, th, atol)
+    Zd, _ = jax.jit(comps["direct"]._solve_maps)(xs, Z0, th, atol)
+    assert bool(auxc["converged"].all())
+    np.testing.assert_allclose(np.asarray(Zc), np.asarray(Zd),
+                               atol=2e-3)
