@@ -183,3 +183,29 @@ class TestLensingSolvers:
                                         jnp.asarray(5e-2, jnp.float32))
         assert np.isfinite(np.asarray(aux["neg_logp"])).all()
         assert not bool(aux["failed"].any())
+
+
+def test_varpro_warm_start_cuts_iterations():
+    """Warm-started re-solve (the muse loop's steady state,
+    src/muse.jl:151,181) must converge in far fewer reduced iterations
+    than the cold start."""
+    import jax
+    import jax.numpy as jnp
+    from muse_tpu.models.lensing import lensing_problem
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    prob = lensing_problem(n=16, data_key=jax.random.PRNGKey(1))
+    spec = ThetaSpec.from_example(0.0)
+    c = CompiledProblem(prob, spec, spec.flatten(0.0))
+    th = jnp.asarray(spec.flatten(0.0), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    xs, _ = jax.jit(c._sample_batch)(keys, th)
+    atol = jnp.asarray(1e-2, jnp.float32)
+    Z0 = jnp.zeros((3, c.nz), jnp.float32)
+    sol = jax.jit(c._solve_maps)
+    Z1, a1 = sol(xs, Z0, th, atol)
+    Z2, a2 = sol(xs, Z1, th, atol)
+    assert bool(a2["converged"].all())
+    assert int(a2["iterations"].max()) <= max(
+        2, int(a1["iterations"].max()) // 5)
