@@ -254,6 +254,7 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                              custom_zhat=custom,
                              grad_theta_log_like=grad_theta)
     prob.grf_config = cfg
+    prob.fft_grid = n
     return prob
 
 
@@ -321,6 +322,7 @@ def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              custom_zhat=zhat_wiener)
     prob.grf_config = cfg
+    prob.fft_grid = n
     return prob
 
 

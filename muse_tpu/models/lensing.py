@@ -125,6 +125,15 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         latent (ops/newton_cg.py), exact HVPs;
       * ``"lbfgs"`` — the generic batched L-BFGS path (the reference's
         only solver, src/interface.jl:162-166).
+
+    MAP iteration budgets are n-dependent: ``gn_max_outer`` defaults to
+    100 below 128² but **40 at n ≥ 128** (polish 80 → 30), bounding the
+    lockstep device time one stalled lane can impose on a large-field
+    batch.  Lanes that exhaust the budget FREEZE with a warning and feed
+    the score unconverged (reference non-convergence semantics,
+    src/interface.jl:168-171) — the warm-started next outer iteration
+    normally recovers them, but at large n raise ``gn_max_outer`` or
+    loosen ``grad_z_atol`` if the non-convergence warnings persist.
     """
     cfg_z = GrfConfig(n, sigma_noise, gamma_z, 1.0, False)
     cfg_p = GrfConfig(n, sigma_noise, gamma_phi, 1.0, False)
@@ -182,12 +191,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         zf = (a_z * sqCz) * jnp.fft.rfft2(uz)
         pf = (phi_norm * a_phi * sqCp) * jnp.fft.rfft2(uphi)
         s1 = jnp.stack([zf, 1j * kxj * zf, 1j * kyj * zf])
-        s2 = jnp.stack([-(kxj ** 2) * zf, -(kyj ** 2) * zf,
-                        -(kxj * kyj) * zf])
+        s_dd = jnp.stack([-(kxj ** 2) * zf, -(kyj ** 2) * zf,
+                          -(kxj * kyj) * zf])
         sp = jnp.stack([1j * kxj * pf, 1j * kyj * pf,
                         jnp.zeros_like(pf)])
         z, zx, zy = jnp.fft.irfft2(s1, s=(n, n), axes=(-2, -1))
-        zxx, zyy, zxy = jnp.fft.irfft2(s2, s=(n, n), axes=(-2, -1))
+        zxx, zyy, zxy = jnp.fft.irfft2(s_dd, s=(n, n), axes=(-2, -1))
         dx, dy, _ = jnp.fft.irfft2(sp, s=(n, n), axes=(-2, -1))
         lin = dx * zx + dy * zy
         quad = dx * dx * zxx + 2 * dx * dy * zxy + dy * dy * zyy
@@ -372,6 +381,7 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                              custom_zhat=custom,
                              grad_theta_log_like=grad_theta)
     prob.lensing_n = n
+    prob.fft_grid = n
 
     def h_precond(w, x, th_flat):
         """Ready-made CG preconditioner for implicit-diff get_H (the Pl

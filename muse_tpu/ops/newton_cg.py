@@ -52,13 +52,16 @@ class NewtonCgResult(NamedTuple):
     g_norm: jnp.ndarray       # (B,)  final sup-norm of gradient
 
 
-def _steihaug(hvp, g, delta, Minv, maxiter, rtol_cap):
+def _steihaug(hvp, g, delta, Minv, maxiter, rtol_cap, active=None):
     """Batched preconditioned Steihaug-Toint CG for  H d = −g,  ‖d‖ ≤ Δ.
 
     Preconditioned search directions, Euclidean trust-region norm (the
     standard pragmatic combination).  Inner tolerance is the
     Eisenstat–Walker forcing  ‖r‖ ≤ min(rtol_cap, √‖g‖)·‖g‖  for
     superlinear outer convergence without wasted early precision.
+    ``active`` masks lanes the outer loop has already frozen
+    (converged/failed) so they don't drag the lockstep inner loop down to
+    their tiny forcing tolerance for discarded results.
     Returns (d, boundary_hit, iters_used).
     """
     B = g.shape[0]
@@ -71,6 +74,8 @@ def _steihaug(hvp, g, delta, Minv, maxiter, rtol_cap):
     p0 = z0
     rz0 = jnp.sum(r0 * z0, -1)
     done0 = g_norm <= 0.0
+    if active is not None:
+        done0 = done0 | ~active
     bhit0 = jnp.zeros((B,), bool)
 
     def to_boundary(d, p, delta):
@@ -189,7 +194,7 @@ def batched_newton_cg(
             return jax.jvp(grad_only, (st.U,), (V,))[1]
 
         d, bhit, cg_its = _steihaug(hvp, st.g, st.delta, Minv,
-                                    cg_maxiter, cg_rtol_cap)
+                                    cg_maxiter, cg_rtol_cap, active)
 
         # predicted reduction of the quadratic model (one extra HVP)
         Hd = hvp(d)

@@ -127,6 +127,13 @@ class MuseProblem:
     # through AD + the bijector chain rule.
     grad_theta_log_like = None
 
+    # Problems whose forward pass runs batched 2D FFTs over an n×n grid
+    # declare it here (the field models do).  The solvers then validate
+    # the chosen per-device lane width once per shape with the empirical
+    # fused-FFT self-check (utils.fft_check.validate_fft_lanes) instead of
+    # silently trusting the odd-lane rule on an untested backend.
+    fft_grid = None
+
 
 def check_self_consistency(problem: MuseProblem, theta, *, key=None,
                            atol=1e-2, eps=1e-3, dtype=jnp.float32):

@@ -13,7 +13,7 @@ one traced, batched, jit-compiled function:
   * ``j_sims``       — get_J's per-sim pipeline (src/muse.jl:508-513).
   * ``h_fd``/fiducial— get_H's finite-difference pipeline, batched over
                        sims × θ-columns × ±stencil (src/muse.jl:417-433).
-  * ``h_implicit``   — get_H's implicit-diff estimator: fwd-over-rev
+  * ``h_implicit_with`` — get_H's implicit-diff estimator: fwd-over-rev
                        jacobians + matrix-free CG (src/muse.jl:335-405),
                        which in JAX collapses to jvp-of-grad + cg.
 
@@ -232,8 +232,16 @@ class CompiledProblem:
 
         Returns g of shape (nsims, nθ, 2, nθ); the solver host-side forms
         H_sim[:, j] = (g[s,j,0] − g[s,j,1]) / (2εⱼ).
+
+        ``n_shards`` (static) is the mesh's sims-axis device count: the
+        flattened nsims·nθ·stencil batch is padded so the *per-device*
+        lane count is odd (``utils.fft_check.safe_lane_count``) — an
+        odd total alone would still give even per-device shards under a
+        mesh, exactly the family measured broken for fused batched FFTs.
         """
-        def run(keys, th, steps, Zfid, atol, offsets):
+        from ..utils.fft_check import safe_lane_count
+
+        def run(keys, th, steps, Zfid, atol, offsets, n_shards=1):
             nsims = keys.shape[0]
             ntheta = th.shape[0]
             ns = offsets.shape[0]
@@ -248,17 +256,16 @@ class CompiledProblem:
             flat_keys = keys_b.reshape((-1,) + keys.shape[1:])
             flat_th = th_pert.reshape((-1, ntheta))
             M = nsims * ntheta * ns
-            if M % 2 == 0:
-                # odd total lane count (even batched-FFT lane counts are
-                # unsafe on the TPU backend — utils/fft_check.py)
-                flat_keys = jnp.concatenate([flat_keys, flat_keys[-1:]])
-                flat_th = jnp.concatenate([flat_th, flat_th[-1:]])
-            xs, _ = jax.vmap(self._sample_flat)(flat_keys, flat_th)
+            pad = safe_lane_count(M, n_shards) - M
             Z0 = jnp.broadcast_to(Zfid[:, None, None, :],
                                   (nsims, ntheta, ns, self.nz)
                                   ).reshape((-1, self.nz))
-            if M % 2 == 0:
-                Z0 = jnp.concatenate([Z0, Z0[-1:]])
+            if pad:
+                def _pad(a):
+                    return jnp.concatenate(
+                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+                flat_keys, flat_th, Z0 = map(_pad, (flat_keys, flat_th, Z0))
+            xs, _ = jax.vmap(self._sample_flat)(flat_keys, flat_th)
             Z, aux = self._solve_maps(xs, Z0, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             g = g[:M].reshape((nsims, ntheta, ns, ntheta))
@@ -266,10 +273,9 @@ class CompiledProblem:
                     "converged": aux["converged"][:M].reshape(
                         nsims, ntheta, ns),
                     "failed": aux["failed"][:M].reshape(nsims, ntheta, ns)}
-        return jax.jit(run)
+        return jax.jit(run, static_argnames=("n_shards",))
 
-    @functools.cached_property
-    def h_implicit(self):
+    def h_implicit_with(self, precond=None):
         """get_H implicit-differentiation mode (src/muse.jl:335-405).
 
         Per sim:  H = H1 + H2,
@@ -282,16 +288,13 @@ class CompiledProblem:
         The reference's LinearMap + IterativeSolvers.cg machinery is native
         here: jvp-of-grad for the HVP, jax.scipy CG for the solve.  The
         whole per-sim computation vmaps over the sims axis.
-        """
-        return self.h_implicit_with(None)
 
-    def h_implicit_with(self, precond=None):
-        """``h_implicit`` with an optional CG preconditioner — the
-        reference's ``Pl`` hook (``implicit_diff_cg_kwargs``,
-        src/muse.jl:312,380-384).  ``precond(w, x, th_flat)`` must return
-        an approximation of A⁻¹w (A = −∇z² logLike, SPD at the MAP) on
-        flat z vectors; it is threaded to ``jax.scipy.sparse.linalg.cg``'s
-        ``M``.  Jitted functions are cached per preconditioner."""
+        ``precond`` is the reference's ``Pl`` CG-preconditioner hook
+        (``implicit_diff_cg_kwargs``, src/muse.jl:312,380-384):
+        ``precond(w, x, th_flat)`` must return an approximation of A⁻¹w
+        (A = −∇z² logLike, SPD at the MAP) on flat z vectors; it is
+        threaded to ``jax.scipy.sparse.linalg.cg``'s ``M``.  Jitted
+        functions are cached per preconditioner."""
         cache = self.__dict__.setdefault("_h_implicit_cache", {})
         if precond in cache:
             return cache[precond]
@@ -390,10 +393,3 @@ class CompiledProblem:
     def inv_transform(self):
         return jax.jit(self.problem.inv_transform_theta)
 
-    @functools.cached_property
-    def sample_prior_z(self):
-        """z from one forward draw — default ẑ warm start (src/muse.jl:151)."""
-        def run(key, th):
-            _, zf = self._sample_flat(key, th)
-            return zf
-        return jax.jit(run)

@@ -50,26 +50,29 @@ def sample_covariance(gs: np.ndarray) -> np.ndarray:
     return np.atleast_2d(np.cov(np.asarray(gs), rowvar=False, ddof=1))
 
 
-def _key_chunks(keys, max_batch, mesh):
+def _key_chunks(keys, max_batch, mesh, fft_n=None):
     """Yield (device_keys, true_count) chunks of the per-sim key array.
 
     ``max_batch`` bounds device memory (the BatchWorkerPool analog,
     src/util.jl:79-83): each chunk is padded to exactly ``max_batch``
     lanes so every chunk reuses one compiled shape; padded lanes compute
     discarded work.  With a mesh, each chunk is sharded over the sims
-    axis.
+    axis.  ``fft_n`` (a problem's declared ``fft_grid``) triggers the
+    empirical fused-FFT integrity check at the chosen per-device width.
     """
     import jax.numpy as jnp
 
-    from ..utils.fft_check import safe_lane_count
+    from ..utils.fft_check import safe_lane_count, validate_fft_lanes
 
     n = keys.shape[0]
     step = n if max_batch is None else max_batch
     # odd *per-device* padded width: even batched-FFT lane counts are
     # unsafe on the TPU backend (muse_tpu/utils/fft_check.py); under a
     # mesh the width is a device-count multiple with odd shards
-    width = safe_lane_count(step,
-                            mesh.n_sims_shards if mesh is not None else 1)
+    n_shards = mesh.n_sims_shards if mesh is not None else 1
+    width = safe_lane_count(step, n_shards)
+    if fft_n:
+        validate_fft_lanes(fft_n, width, n_shards)
     for i in range(0, n, step):
         chunk = keys[i:i + step]
         c = chunk.shape[0]
@@ -156,7 +159,8 @@ def get_J(
         # RemoteProgress analog, src/muse.jl:507)
         pbar = ProgressReporter(nsims_remaining, "get_J", enabled=progress)
         try:
-            for chunk, c in _key_chunks(keys, max_batch, mesh):
+            for chunk, c in _key_chunks(keys, max_batch, mesh,
+                                        getattr(problem, "fft_grid", None)):
                 out = comp.j_sims(chunk, jnp.asarray(th, dtype),
                                   jnp.asarray(grad_z_atol, dtype))
                 g_parts.append(np.asarray(out["g"], np.float64)[:c])
@@ -248,7 +252,8 @@ def get_H(
         h_impl = comp.h_implicit_with(implicit_diff_precond)
         pbar = ProgressReporter(nsims_remaining, "get_H", enabled=progress)
         try:
-            for chunk, c in _key_chunks(keys, max_batch, mesh):
+            for chunk, c in _key_chunks(keys, max_batch, mesh,
+                                        getattr(problem, "fft_grid", None)):
                 Hs_c, resid_c = h_impl(
                     chunk, jnp.asarray(th, dtype),
                     jnp.asarray(implicit_fit_atol, dtype),
@@ -302,15 +307,28 @@ def get_H(
         units_per_sim = 1 + ntheta * len(offsets)
         pbar = ProgressReporter(nsims_remaining * units_per_sim, "get_H",
                                 enabled=progress)
+        fft_n = getattr(problem, "fft_grid", None)
+        if fft_n:
+            # the h_fd-internal flattened sims·nθ·stencil batch has its
+            # own per-device width — validate it too
+            from ..utils.fft_check import safe_lane_count, validate_fft_lanes
+            n_shards = mesh.n_sims_shards if mesh is not None else 1
+            w = safe_lane_count(nsims_remaining if max_batch is None
+                                else max_batch, n_shards)
+            validate_fft_lanes(
+                fft_n, safe_lane_count(w * ntheta * len(offsets), n_shards),
+                n_shards)
         try:
-            for chunk, c in _key_chunks(keys, max_batch, mesh):
+            for chunk, c in _key_chunks(keys, max_batch, mesh, fft_n):
                 fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
                                       jnp.asarray(grad_z_atol, dtype))
                 pbar.step(inc=c, msg="fiducial fits")
                 out = comp.h_fd(chunk, jnp.asarray(th, dtype),
                                 jnp.asarray(step, dtype), fid["Z"],
                                 jnp.asarray(grad_z_atol, dtype),
-                                jnp.asarray(offsets, dtype))
+                                jnp.asarray(offsets, dtype),
+                                n_shards=(mesh.n_sims_shards
+                                          if mesh is not None else 1))
                 g_parts.append(np.asarray(out["g"], np.float64)[:c])
                 failed_parts.append(
                     np.asarray(out["failed"])[:c].any(axis=(1, 2)))

@@ -161,10 +161,15 @@ def muse_fit(
     # power deficit; see muse_tpu/utils/fft_check.py).  With a mesh the
     # width is additionally a multiple of the sims-axis device count so
     # mesh.shard_sims adds no further (even-making) padding.
-    from ..utils.fft_check import safe_lane_count
+    from ..utils.fft_check import safe_lane_count, validate_fft_lanes
     step_sz = B if max_batch is None else min(max_batch, B)
-    width = safe_lane_count(step_sz,
-                            mesh.n_sims_shards if mesh is not None else 1)
+    n_shards = mesh.n_sims_shards if mesh is not None else 1
+    width = safe_lane_count(step_sz, n_shards)
+    if getattr(problem, "fft_grid", None):
+        # empirical fused-FFT integrity check at the actual per-device
+        # width — fail loudly rather than trust the odd-lane rule on an
+        # untested backend (utils/fft_check.py)
+        validate_fft_lanes(problem.fft_grid, width, n_shards)
     bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
 
     def _pad(arr, w):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_fft_ok", "safe_lane_count"]
+__all__ = ["fused_fft_ok", "safe_lane_count", "validate_fft_lanes"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -49,6 +49,29 @@ def fused_fft_ok(n: int, batch: int) -> bool:
     f = np.asarray(fused(U))
     r = np.asarray(jnp.sum(mat(U) ** 2, axis=(-2, -1)))
     return bool(np.allclose(f, r, rtol=1e-3))
+
+
+def validate_fft_lanes(n: int, width: int, n_shards: int = 1) -> None:
+    """Fail loudly if the fused batched-FFT pattern is broken at this
+    (grid, per-device batch) on the CURRENT backend.
+
+    The solvers' odd-lane padding rule was derived empirically on one TPU
+    generation (module docstring); a different backend could have a
+    different broken family.  Problems that declare ``fft_grid`` get this
+    direct check once per (n, per-device width) — ``fused_fft_ok`` is
+    lru-cached — instead of silently trusting the rule generalizes.
+    Raises ``RuntimeError`` (the alternative is a silent ~50σ bias in θ̂).
+    """
+    per = -(-width // n_shards)
+    if not fused_fft_ok(n, per):
+        raise RuntimeError(
+            f"fused batched-FFT self-check FAILED at grid {n}² with "
+            f"{per} lanes/device on backend "
+            f"{jax.default_backend()!r}: this platform miscompiles the "
+            "pattern at this batch size (silent power deficit — see "
+            "muse_tpu/utils/fft_check.py). Choose a different max_batch "
+            "so the padded per-device lane count lands on a safe batch "
+            "size (fused_fft_ok(n, b) tests candidates).")
 
 
 def safe_lane_count(b: int, n_shards: int = 1) -> int:
