@@ -44,7 +44,10 @@ def main():
     get_J(res, prob, nsims=args.nsims, max_batch=args.max_batch,
           key=jax.random.PRNGKey(1))           # gs reused from the fit
     t_j = time.perf_counter() - t0 - t_fit
+    # the exact Fourier-diagonal z-Hessian inverse (the reference's Pl
+    # hook, src/muse.jl:312) collapses the per-column CG to O(1) iterations
     get_H(res, prob, nsims=max(8, args.nsims // 10), implicit_diff=True,
+          implicit_diff_precond=prob.suggested_h_precond,
           max_batch=args.max_batch, key=jax.random.PRNGKey(1))
     t_total = time.perf_counter() - t0
 

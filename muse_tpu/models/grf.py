@@ -51,6 +51,8 @@ class GrfConfig:
         self.gamma = gamma
         self.k0 = k0
         self.infer_tilt = infer_tilt
+        self.fft_mode = "fft"
+        self._dft_plan = None
         ky = np.fft.fftfreq(n) * n
         kx = np.fft.rfftfreq(n) * n
         self.k = jnp.asarray(np.hypot(ky[:, None], kx[None, :]),
@@ -63,6 +65,32 @@ class GrfConfig:
             w[:, -1] = 1.0
         self.herm_weight = jnp.asarray(w, jnp.float32)
 
+    def set_fft_mode(self, mode: str):
+        """Pick the 2D-transform implementation: ``"fft"`` (jnp.fft, the
+        default) or ``"matmul"`` (einsum DFT, ops/dft.py) — the fallback
+        for field-sharded layouts XLA's fft thunk rejects (CPU backend
+        under a 2-axis GSPMD partition)."""
+        if mode not in ("fft", "matmul"):
+            raise ValueError(f"fft_mode must be 'fft'|'matmul', got {mode!r}")
+        self.fft_mode = mode
+        if mode == "matmul":
+            from ..ops.dft import plan_dft2
+            self._dft_plan = plan_dft2(self.n)
+        else:
+            self._dft_plan = None
+
+    def rfft2(self, u):
+        """Batched 2D real FFT over the trailing axes (mode-dispatched)."""
+        if self._dft_plan is not None:
+            return self._dft_plan.rfft2(u)
+        return jnp.fft.rfft2(u, axes=(-2, -1))
+
+    def irfft2(self, v):
+        """Inverse of :meth:`rfft2` for hermitian-consistent spectra."""
+        if self._dft_plan is not None:
+            return self._dft_plan.irfft2(v)
+        return jnp.fft.irfft2(v, s=(self.n, self.n), axes=(-2, -1))
+
     def spectrum(self, theta) -> jnp.ndarray:
         """C_k(θ) = e^{θ₀} (k+k0)^{-(γ+θ₁)} on the rfft grid."""
         th = jnp.atleast_1d(jnp.asarray(theta))
@@ -72,13 +100,10 @@ class GrfConfig:
 
     def apply_sqrtC(self, u, theta):
         """z = S_θ u = F⁻¹(√C_k · F u) — real symmetric operator."""
-        return jnp.fft.irfft2(
-            jnp.sqrt(self.spectrum(theta)) * jnp.fft.rfft2(u),
-            s=(self.n, self.n))
+        return self.irfft2(jnp.sqrt(self.spectrum(theta)) * self.rfft2(u))
 
     def apply_C(self, u, theta):
-        return jnp.fft.irfft2(self.spectrum(theta) * jnp.fft.rfft2(u),
-                              s=(self.n, self.n))
+        return self.irfft2(self.spectrum(theta) * self.rfft2(u))
 
 
 def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
@@ -86,28 +111,50 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                 k0: float = 1.0, infer_tilt: bool = False,
                 theta_true=None, data_key=None, x_obs=None,
                 solver: str = "cg", cg_maxiter: int = 200,
-                prior_std: float = 3.0, mesh=None) -> SimpleMuseProblem:
+                prior_std: float = 3.0, mesh=None,
+                fft_mode: str = "auto") -> SimpleMuseProblem:
     """Build the GRF MUSE problem (see module docstring).
 
     With a 2-axis ``mesh`` (sims × field), the CG solve keeps its state
-    field-sharded and stages FFTs through the standard reshard→local-FFT→
-    reshard pattern: the field is gathered per-sim for the (local) 2D FFT
-    and re-scattered for the elementwise spectrum/CG updates.  This is the
-    conventional distributed-spectral layout; XLA emits the all-gathers/
-    slices over ICI.
+    field-sharded and stages the 2D transforms:
+
+      * ``fft_mode="fft"``: reshard→local-FFT→reshard — the field is
+        gathered per-sim for the (local) 2D FFT and re-scattered for the
+        elementwise spectrum/CG updates.  Works where the backend's fft
+        op accepts GSPMD-partitioned layouts (TPU).
+      * ``fft_mode="matmul"``: the transform is the einsum DFT
+        (ops/dft.py) and the grid stays ROW-SHARDED over the field axis
+        through it — GSPMD partitions the contractions with ICI
+        collectives, and no backend fft thunk is involved.
+      * ``"auto"`` (default): ``"matmul"`` when the mesh has a field
+        axis on the CPU backend (whose fft thunk rejects partitioned
+        layouts — fft_thunk.cc:167 RET_CHECK, reproduced), else
+        ``"fft"``.
     """
     cfg = config or GrfConfig(n, sigma_noise, gamma, k0, infer_tilt)
     n = cfg.n
     s2 = cfg.sigma_noise ** 2
     ntheta = 2 if cfg.infer_tilt else 1
 
-    if mesh is not None and mesh.field_axis is not None:
+    has_field_axis = mesh is not None and mesh.field_axis is not None
+    if fft_mode == "auto":
+        fft_mode = ("matmul" if has_field_axis
+                    and jax.default_backend() == "cpu" else "fft")
+    cfg.set_fft_mode(fft_mode)
+
+    if has_field_axis:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        _full = NamedSharding(mesh.mesh, P(mesh.sims_axis, None, None))
+        if fft_mode == "matmul":
+            # einsum DFT tolerates (indeed exploits) a sharded grid: keep
+            # the rows sharded over the field axis through the transform
+            _full = NamedSharding(mesh.mesh,
+                                  P(mesh.sims_axis, mesh.field_axis, None))
+        else:
+            _full = NamedSharding(mesh.mesh, P(mesh.sims_axis, None, None))
         _flat = NamedSharding(mesh.mesh, P(mesh.sims_axis, mesh.field_axis))
         _lane = NamedSharding(mesh.mesh, P(mesh.sims_axis, None))
 
-        def stage_full(U):     # (B, n, n): gather field per sim for FFT
+        def stage_full(U):     # (B, n, n): grid layout for the transform
             return jax.lax.with_sharding_constraint(U, _full)
 
         def stage_flat(Zf):    # (B, n²): scatter over the field axis
@@ -152,7 +199,7 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         and for "cg" to solver tolerance).
         """
         C = cfg.spectrum(theta)
-        p = jnp.abs(jnp.fft.rfft2(x)) ** 2 / (n * n)
+        p = jnp.abs(cfg.rfft2(x)) ** 2 / (n * n)
         w = cfg.herm_weight
         denom = (C + s2) ** 2
         g0 = 0.5 * jnp.sum(w * p * C / denom)
@@ -175,8 +222,7 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
 
         def matvec(U):
             Uf = stage_full(U.reshape(B, n, n))
-            CU = jnp.fft.irfft2(C * jnp.fft.rfft2(Uf, axes=(-2, -1)),
-                                s=(n, n), axes=(-2, -1))
+            CU = cfg.irfft2(C * cfg.rfft2(Uf))
             return stage_flat((Uf + CU / s2).reshape(B, -1))
 
         def precond(R):
@@ -184,8 +230,7 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
             # in ~1 iteration; kept as a preconditioner (not a direct
             # solve) so the machinery generalizes to non-diagonal terms
             Rf = stage_full(R.reshape(B, n, n))
-            MR = jnp.fft.irfft2(jnp.fft.rfft2(Rf, axes=(-2, -1))
-                                / (1.0 + C / s2), s=(n, n), axes=(-2, -1))
+            MR = cfg.irfft2(cfg.rfft2(Rf) / (1.0 + C / s2))
             return stage_flat(MR.reshape(B, -1))
 
         # Fused spectral initialization: b, r₀ = b − A u₀, z₀ = M⁻¹r₀ and
@@ -196,15 +241,13 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         # muse_step's ~9 FFT passes eliminated.  The dummy third lane
         # keeps the flattened FFT batch odd (utils/fft_check).
         Xf = stage_full(X)
-        xhat = jnp.fft.rfft2(Xf, axes=(-2, -1))
-        u0hat = jnp.fft.rfft2(stage_full(Z0.reshape(B, n, n)),
-                              axes=(-2, -1))
+        xhat = cfg.rfft2(Xf)
+        u0hat = cfg.rfft2(stage_full(Z0.reshape(B, n, n)))
         Adiag = 1.0 + C / s2
         bhat = jnp.sqrt(C) * xhat / s2
         r0hat = bhat - Adiag * u0hat
-        rz = jnp.fft.irfft2(
-            jnp.stack([r0hat, r0hat / Adiag, jnp.zeros_like(r0hat)], 1),
-            s=(n, n), axes=(-2, -1))
+        rz = cfg.irfft2(
+            jnp.stack([r0hat, r0hat / Adiag, jnp.zeros_like(r0hat)], 1))
         r0 = stage_flat(rz[:, 0].reshape(B, -1))
         z0 = stage_flat(rz[:, 1].reshape(B, -1))
         b_norm = jnp.sqrt(jnp.sum(cfg.herm_weight
@@ -233,9 +276,9 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         C = cfg.spectrum(th)
 
         def one(x):
-            xf = jnp.fft.rfft2(x)
+            xf = cfg.rfft2(x)
             uf = jnp.sqrt(C) * xf / (s2 + C)
-            return jnp.fft.irfft2(uf, s=(n, n)).reshape(-1)
+            return cfg.irfft2(uf).reshape(-1)
 
         Z = jax.vmap(one)(xs)
         B = Z.shape[0]
@@ -254,7 +297,22 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                              custom_zhat=custom,
                              grad_theta_log_like=grad_theta)
     prob.grf_config = cfg
-    prob.fft_grid = n
+    # matmul mode has no backend-fft op, so the fused-FFT integrity
+    # self-check does not apply there
+    prob.fft_grid = n if cfg.fft_mode == "fft" else None
+
+    def h_precond(w, x, th_flat):
+        """Ready-made CG preconditioner for implicit-diff get_H (the Pl
+        hook, src/muse.jl:312): for the whitened latent the z-Hessian is
+        EXACTLY Fourier-diagonal, A = −∇z²logLike = I + C_θ/σ², so this
+        is the exact inverse and the per-column CG solves converge in
+        O(1) iterations.  Pass as ``get_H(..., implicit_diff=True,
+        implicit_diff_precond=prob.suggested_h_precond)``."""
+        C = cfg.spectrum(_theta_of(th_flat))
+        return cfg.irfft2(cfg.rfft2(w.reshape(n, n))
+                          / (1.0 + C / s2)).reshape(-1)
+
+    prob.suggested_h_precond = h_precond
     return prob
 
 

@@ -180,15 +180,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     sqCz = jnp.sqrt(cfg_z.spectrum(0.0))
     sqCp = jnp.sqrt(cfg_p.spectrum(0.0))
 
-    def _lens_parts(uz, uphi, theta):
-        # z-derived and φ-derived lanes ride SEPARATE irfft2 calls: the
-        # VarPro solver transposes this function w.r.t. uz with
-        # jax.linear_transpose, which requires products like dx·zx to be
-        # constant×linear — fusing both groups into one FFT would make
-        # every output lane formally linear in uz.  Stacks of 3 also keep
-        # the flattened FFT batch odd for odd lane counts.
+    def _lens_parts_zf(zf_u, uphi, theta):
+        # variant entered from the z-spectrum directly: the VarPro linear
+        # block lives in packed-Fourier coordinates, so its obs_op skips
+        # the leading rfft2 (and its transpose skips the trailing one)
         a_phi, a_z = _amps(theta)
-        zf = (a_z * sqCz) * jnp.fft.rfft2(uz)
+        zf = (a_z * sqCz) * zf_u
         pf = (phi_norm * a_phi * sqCp) * jnp.fft.rfft2(uphi)
         s1 = jnp.stack([zf, 1j * kxj * zf, 1j * kyj * zf])
         s_dd = jnp.stack([-(kxj ** 2) * zf, -(kyj ** 2) * zf,
@@ -201,6 +198,15 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         lin = dx * zx + dy * zy
         quad = dx * dx * zxx + 2 * dx * dy * zxy + dy * dy * zyy
         return z + lin + 0.5 * quad, lin, quad
+
+    def _lens_parts(uz, uphi, theta):
+        # z-derived and φ-derived lanes ride SEPARATE irfft2 calls: the
+        # VarPro solver transposes this function w.r.t. the z block with
+        # jax.linear_transpose, which requires products like dx·zx to be
+        # constant×linear — fusing both groups into one FFT would make
+        # every output lane formally linear in uz.  Stacks of 3 also keep
+        # the flattened FFT batch odd for odd lane counts.
+        return _lens_parts_zf(jnp.fft.rfft2(uz), uphi, theta)
 
     def _forward(uz, uphi, theta):
         return _lens_parts(uz, uphi, theta)[0]
@@ -307,24 +313,86 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         φ-landscape at strong lensing finish with warm-started
         trust-region Newton-CG, whose local quadratic convergence is
         exactly what a near-solution iterate needs (converged lanes
-        freeze at polish entry and cost nothing but the lockstep ride)."""
+        freeze at polish entry and cost nothing but the lockstep ride).
+
+        The linear (unlensed-field) block is handed to the solver in
+        PACKED-FOURIER coordinates z̃ = pack(√w/n · rfft2(u_z)) — an
+        isometry (Parseval with hermitian weights), so ½‖z̃‖² is exactly
+        the whitened prior and the objective is unchanged.  Payoff per
+        inner-CG iteration: the obs_op skips the leading rfft2 (and its
+        transpose the trailing one) since it starts from the spectrum,
+        and the Fourier-diagonal preconditioner becomes a pointwise
+        multiply instead of an rfft2+irfft2 round-trip — ~2× fewer
+        transform passes in the solve that dominates flagship-scale
+        wall-clock.  The z-block gradient tolerance is then certified in
+        the spectral basis (sup over Fourier coords; both bases' sup
+        norms are bounded by the same basis-invariant L2)."""
         from ..ops.newton_cg import batched_newton_cg
         from ..ops.varpro import batched_varpro
         B = Z0.shape[0]
         a_phi, a_z = _amps(th_flat)
 
-        def obs_op(Up, Uz):
-            def one(u_p, u_z):
-                return _forward(u_z.reshape(n, n), u_p.reshape(n, n),
-                                th_flat)
-            return jax.vmap(one)(Up, Uz)
+        nr = n // 2 + 1
+        sqw_n = jnp.sqrt(wh) / n          # (n, nr) isometric pack scale
 
-        Mz = 1.0 + (a_z ** 2) * Cz0 / s2
+        def _pack(zf):                    # (B, n, nr) complex → (B, 2·n·nr)
+            zs = zf * sqw_n
+            return jnp.concatenate([zs.real.reshape(B, -1),
+                                    zs.imag.reshape(B, -1)], -1)
+
+        def _herm_sym(zf):
+            """Orthogonal projection onto hermitian-consistent spectra.
+
+            The rfft2 layout's self-conjugate columns (0 and, for even
+            n, the axis-1 Nyquist) store both members of each conjugate
+            pair, so the packed space has ~2n redundant coordinates.
+            irfft2 annihilates the inconsistent directions, but its
+            exact ADJOINT (via jax.linear_transpose) does not land back
+            in the consistent subspace — measured ~1% off-subspace
+            energy per Gᵀ application, which accumulated in the CG
+            iterates (≈3% of ‖z‖² at 16²) and silently inflated the
+            ½‖z̃‖² prior, corrupting both the objective and the
+            convergence certificate.  Symmetrizing here makes the
+            redundant directions invisible to the whole operator chain:
+            b and every Krylov vector stay consistent.  (The projection
+            commutes with the column-constant √w scaling.)"""
+            cols = [0] + ([nr - 1] if n % 2 == 0 else [])
+            for c in cols:
+                col = zf[..., :, c]
+                mirror = jnp.conj(jnp.roll(col[..., ::-1], 1, axis=-1))
+                zf = zf.at[..., :, c].set(0.5 * (col + mirror))
+            return zf
+
+        def _unpack(zt):                  # inverse of _pack ∘ projection
+            re, im = jnp.split(zt, 2, -1)
+            return _herm_sym((re + 1j * im).reshape(-1, n, nr)) / sqw_n
+
+        def obs_op(Up, Zt):
+            zf = _unpack(Zt)
+
+            def one(u_p, zf1):
+                return _lens_parts_zf(zf1, u_p.reshape(n, n), th_flat)[0]
+            return jax.vmap(one)(Up, zf)
+
+        # exact Fourier-diagonal preconditioner, now a pointwise multiply
+        Mz_packed = jnp.tile(
+            (1.0 / (1.0 + (a_z ** 2) * Cz0 / s2)).reshape(-1), 2)
 
         def precond_lin(R):
-            return jnp.fft.irfft2(
-                jnp.fft.rfft2(R.reshape(B, n, n), axes=(-2, -1)) / Mz,
-                s=(n, n), axes=(-2, -1)).reshape(B, -1)
+            return R * Mz_packed
+
+        # z-block residual measure: the EXACT pixel-space sup-norm.  The
+        # packing is an isometry, so the pixel gradient is Pᵀr =
+        # irfft2(unpack(r)) — one single-lane irfft2 per CG stopping
+        # check, ≈8% of a matvec's 12 transform lanes.  Cheap proxies
+        # were tried and measured wrong in both directions: raw spectral
+        # max-abs is ~√N too strict for smooth residuals (budget
+        # exhaustion), RMS·√(2 ln N) under-certifies structured ones
+        # (polish churn, one-lane non-convergence at 32²).  Exact keeps
+        # the certified semantics identical to every other solver here.
+        def lin_sup(R):
+            r_pix = jnp.fft.irfft2(_unpack(R), s=(n, n), axes=(-2, -1))
+            return jnp.max(jnp.abs(r_pix.reshape(R.shape[0], -1)), -1)
 
         n2 = n * n
         # m bounds the dominant memory term (2·m·B·n² floats of outer
@@ -335,15 +403,31 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         # tens of iterations, so the accuracy cost is nil).
         m_eff = varpro_m if varpro_m is not None else (10 if n < 512
                                                        else 5)
+        Zt0 = _pack(jnp.fft.rfft2(Z0[:, n2:].reshape(B, n, n),
+                                  axes=(-2, -1)))
         res = batched_varpro(
-            obs_op, xs, Z0[:, :n2], Z0[:, n2:], sigma2=s2, g_atol=atol,
+            obs_op, xs, Z0[:, :n2], Zt0, sigma2=s2, g_atol=atol,
             max_outer=gn_max_outer, inner_maxiter=gn_cg_maxiter,
-            m=m_eff, precond_lin=precond_lin)
-        Z = jnp.concatenate([res.u_nl, res.z_lin], -1)
+            m=m_eff, precond_lin=precond_lin, lin_sup=lin_sup)
+        uz_hat = jnp.fft.irfft2(_unpack(res.z_lin), s=(n, n),
+                                axes=(-2, -1)).reshape(B, -1)
+        Z = jnp.concatenate([res.u_nl, uz_hat], -1)
+
+        # Exact certificate: VarPro's z-block stop uses the calibrated
+        # spectral proxy (lin_sup above), which can sit a small factor
+        # off the true pixel sup for structured residuals.  One
+        # value_and_grad of the joint objective (a few FFTs, amortized
+        # over the ~40-iteration solve) gives the TRUE sup-norm — it
+        # decides polish entry and is what aux reports, so downstream
+        # consumers (implicit-diff get_H stationarity, reference
+        # non-convergence warnings) see real gradients, not the proxy.
+        f_true, g_true = _vg_full(xs, th_flat)(Z)
+        sup_true = jnp.max(jnp.abs(g_true), -1)
+        conv_true = sup_true < jnp.broadcast_to(jnp.asarray(atol), (B,))
 
         # polish only when VarPro left stragglers: lax.cond skips the
         # whole Newton phase (incl. its init f/g evaluation) at runtime
-        # when every lane already satisfies the tolerance
+        # when every lane already satisfies the (true) tolerance
         def run_polish(Zc):
             pol = batched_newton_cg(
                 _vg_full(xs, th_flat), Zc, g_atol=atol,
@@ -354,11 +438,11 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
 
         def skip_polish(Zc):
             zero = jnp.zeros_like(res.iterations)
-            return (Zc, res.converged, res.failed, zero, zero,
-                    res.g_norm, res.f)
+            return (Zc, conv_true, res.failed, zero, zero,
+                    sup_true, f_true)
 
         Zf, conv, fail, pits, pcg, gnorm, fobj = jax.lax.cond(
-            jnp.all(res.converged | res.failed), skip_polish, run_polish,
+            jnp.all(conv_true | res.failed), skip_polish, run_polish,
             Z)
         aux = {"converged": conv, "failed": fail,
                "iterations": res.iterations + pits,

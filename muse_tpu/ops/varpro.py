@@ -58,7 +58,8 @@ def _sup(v):
 
 
 @partial(jax.jit, static_argnames=(
-    "obs_op", "precond_lin", "m", "max_outer", "max_ls", "inner_maxiter"))
+    "obs_op", "precond_lin", "lin_sup", "m", "max_outer", "max_ls",
+    "inner_maxiter"))
 def batched_varpro(
     obs_op: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     xs: jnp.ndarray,
@@ -74,6 +75,7 @@ def batched_varpro(
     inner_maxiter: int = 50,
     inner_kappa: float = 0.1,
     precond_lin: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    lin_sup: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> VarproResult:
     """Minimize ½‖x − obs_op(u, z)‖²/σ² + ½‖u‖² + ½‖z‖² in lockstep.
 
@@ -89,12 +91,20 @@ def batched_varpro(
         sup|r| ≤ max(κ·sup|g_nl|, 0.5·g_atol), so early solves are loose
         (inexact VarPro) and the final ones certify the z-block gradient.
       precond_lin: optional SPD approx of (I + GᵀG/σ²)⁻¹ on flat z lanes.
+      lin_sup: per-lane effective sup-norm of a z-block residual,
+        ``(B, Nlin) -> (B,)`` (default: elementwise max-abs).  Callers
+        whose linear block lives in a rotated basis (e.g. packed-Fourier
+        coordinates, models/lensing.py) pass a basis-appropriate measure
+        here — a smooth pixel-space gradient concentrates into few
+        Fourier modes, so the raw spectral max-abs can be ~√N stricter
+        than the pixel-space sup the tolerance was calibrated for.
     """
     B, Nnl = Unl0.shape
     dtype = Unl0.dtype
     g_atol = jnp.broadcast_to(jnp.asarray(g_atol, dtype), (B,))
     sigma2 = jnp.asarray(sigma2, dtype)
     Minv = (lambda v: v) if precond_lin is None else precond_lin
+    lsup = _sup if lin_sup is None else lin_sup
     Z_ex = jnp.zeros_like(Zlin0)
 
     def _inner(Unl, Z0, rho, rho_from_r0=False):
@@ -118,9 +128,9 @@ def batched_varpro(
         b = Gt(xs) / sigma2
         r0 = b - A(Z0)
         if rho_from_r0:
-            rho = jnp.maximum(rho, inner_kappa * _sup(r0))
+            rho = jnp.maximum(rho, inner_kappa * lsup(r0))
         z0 = Minv(r0)
-        done0 = _sup(r0) <= rho
+        done0 = lsup(r0) <= rho
 
         def cond2(c):
             done, k = c[4], c[6]
@@ -136,7 +146,7 @@ def batched_varpro(
             r1 = r - alpha[:, None] * Ap
             z1 = Minv(r1)
             rz1 = jnp.sum(r1 * z1, -1)
-            done1 = done | (_sup(r1) <= rho) | ~jnp.isfinite(rz1)
+            done1 = done | (lsup(r1) <= rho) | ~jnp.isfinite(rz1)
             beta = jnp.where(done1, 0.0,
                              rz1 / jnp.where(rz != 0, rz, 1.0))
             p1 = jnp.where(done1[:, None], p, z1 + beta[:, None] * p)
@@ -146,7 +156,7 @@ def batched_varpro(
         init = (Z0, r0, z0, jnp.sum(r0 * z0, -1), done0,
                 jnp.zeros((B,), jnp.int32), jnp.zeros((), jnp.int32))
         Z, r, _, _, _, its, _ = lax.while_loop(cond2, body2, init)
-        return Z, _sup(r), its
+        return Z, lsup(r), its
 
     def _f_and_g(Unl, Z):
         """Per-lane objective + envelope gradient ∂f/∂u_nl at fixed

@@ -215,10 +215,17 @@ def get_H(
     ``problem`` may also be a PPL model function with ``observed=``
     (src/turing.jl:248-256 overload analog).
 
-    ``fd_order=2`` is plain central differences; the reference's adaptive
-    ``central_fdm(3,1)`` has no JAX analog, but its role (controlling FD
-    truncation error) is covered by the 0.1σ default step plus the
-    implicit-diff mode, which is exact and is the recommended mode here.
+    ``fd_order=2`` is plain central differences; ``fd_order=4`` the
+    5-point Richardson stencil; ``fd_order="adaptive"`` reproduces the
+    ROLE of the reference's adaptive ``central_fdm(3,1)``
+    (src/muse.jl:300): it runs the 4-offset stencil, estimates the
+    truncation error from the ε-vs-2ε discrepancy and the roundoff floor
+    from the score magnitude, rebalances the per-column step
+    ε* = ε·(round/trunc)^{1/3}, and re-runs (≤2 extra batched passes)
+    until the two error sources are within an order of magnitude; the
+    final H uses the Richardson combination.  Per-round steps/estimates
+    land in ``result.metadata["fd_adaptive"]``.  The implicit-diff mode
+    remains exact and is the recommended mode here.
 
     ``implicit_diff_precond`` is the reference's ``Pl`` CG-preconditioner
     hook (``implicit_diff_cg_kwargs``, src/muse.jl:312,380-384): a callable
@@ -231,8 +238,10 @@ def get_H(
     MAPs — the implicit formula needs exact stationarity of ẑ, the FD
     mode a converged fiducial fit.  The reference-parity defaults
     (``implicit_fit_atol=1e-1``, ``grad_z_atol=1e-2``) are fine for
-    near-Gaussian problems but bias H by ~±10% in opposite directions on
-    the lensing benchmark; at 1e-2/1e-3 the two estimators agree to 0.2%
+    near-Gaussian problems but bias H by 10-30% on the lensing
+    benchmark (its nonconvex latent landscape has near-stationary
+    points whose curvature differs from the MAP's); at 1e-3 the two
+    estimators agree to 0.01%
     (see tests/test_lensing.py::test_implicit_H_with_model_preconditioner).
     """
     problem = _as_problem(problem, theta0, observed)
@@ -286,60 +295,92 @@ def get_H(
                     "get_J first (the reference's recommendation, "
                     "src/muse.jl:284-286) or pass `step` explicitly.")
             step = 0.1 / np.std(np.asarray(result.gs), axis=0, ddof=1)
-        step = np.broadcast_to(np.asarray(step, np.float64), (ntheta,))
+        step = np.array(np.broadcast_to(np.asarray(step, np.float64),
+                                        (ntheta,)))
 
         # fiducial fits: warm starts for every FD evaluation
         # (src/muse.jl:417-423; the reference's rngs-shadowing quirk is
         # intentionally NOT replicated — each sim uses its own key)
-        # central-difference stencil: order 2 → (±ε), order 4 → (±ε, ±2ε)
+        # central-difference stencil: order 2 → (±ε), order 4/adaptive →
+        # (±ε, ±2ε)
+        adaptive = fd_order == "adaptive"
         if fd_order == 2:
             offsets = np.array([1.0, -1.0])
             weights = np.array([0.5, -0.5])
-        elif fd_order == 4:
+        elif fd_order == 4 or adaptive:
             offsets = np.array([1.0, -1.0, 2.0, -2.0])
             weights = np.array([8.0, -8.0, -1.0, 1.0]) / 12.0
         else:
-            raise ValueError("fd_order must be 2 or 4")
+            raise ValueError("fd_order must be 2, 4, or 'adaptive'")
 
-        g_parts, failed_parts = [], []
-        # progress in the reference's units — nsims·(1+nθ·stencil) MAP
-        # solves (src/muse.jl:325): 1 fiducial tick + nθ·S FD ticks per sim
-        units_per_sim = 1 + ntheta * len(offsets)
-        pbar = ProgressReporter(nsims_remaining * units_per_sim, "get_H",
-                                enabled=progress)
+        n_shards = mesh.n_sims_shards if mesh is not None else 1
         fft_n = getattr(problem, "fft_grid", None)
         if fft_n:
             # the h_fd-internal flattened sims·nθ·stencil batch has its
             # own per-device width — validate it too
             from ..utils.fft_check import safe_lane_count, validate_fft_lanes
-            n_shards = mesh.n_sims_shards if mesh is not None else 1
             w = safe_lane_count(nsims_remaining if max_batch is None
                                 else max_batch, n_shards)
             validate_fft_lanes(
                 fft_n, safe_lane_count(w * ntheta * len(offsets), n_shards),
                 n_shards)
-        try:
+
+        # progress in the reference's units — nsims·(1+nθ·stencil) MAP
+        # solves (src/muse.jl:325): 1 fiducial tick + nθ·S FD ticks per sim
+        units_per_sim = 1 + ntheta * len(offsets)
+        max_rounds = 3 if adaptive else 1
+        pbar = ProgressReporter(nsims_remaining * units_per_sim * max_rounds,
+                                "get_H", enabled=progress)
+
+        def fd_pass(step_now):
+            g_parts, failed_parts = [], []
             for chunk, c in _key_chunks(keys, max_batch, mesh, fft_n):
                 fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
                                       jnp.asarray(grad_z_atol, dtype))
                 pbar.step(inc=c, msg="fiducial fits")
                 out = comp.h_fd(chunk, jnp.asarray(th, dtype),
-                                jnp.asarray(step, dtype), fid["Z"],
+                                jnp.asarray(step_now, dtype), fid["Z"],
                                 jnp.asarray(grad_z_atol, dtype),
                                 jnp.asarray(offsets, dtype),
-                                n_shards=(mesh.n_sims_shards
-                                          if mesh is not None else 1))
+                                n_shards=n_shards)
                 g_parts.append(np.asarray(out["g"], np.float64)[:c])
                 failed_parts.append(
                     np.asarray(out["failed"])[:c].any(axis=(1, 2)))
                 pbar.step(inc=c * ntheta * len(offsets), msg="FD columns")
+            return np.concatenate(g_parts), np.concatenate(failed_parts)
+
+        try:
+            rounds_meta = []
+            for round_i in range(max_rounds):
+                step_used = step.copy()
+                g, failed = fd_pass(step)      # g: (nsims, nθ, S, nθ)
+                if not adaptive:
+                    break
+                # per-column error balance (central_fdm's adaptive role):
+                # truncation of the ε estimate ≈ |d_ε − d_2ε|/3, roundoff
+                # ≈ eps_f32·scale(g)/ε; balance c·ε² = δ/ε at
+                # ε* = ε·(round/trunc)^(1/3)
+                d_e = (g[:, :, 0, :] - g[:, :, 1, :]) / (2 * step[None, :,
+                                                                  None])
+                d_2e = (g[:, :, 2, :] - g[:, :, 3, :]) / (4 * step[None, :,
+                                                                   None])
+                trunc = np.sqrt(np.mean((d_e - d_2e) ** 2,
+                                        axis=(0, 2))) / 3.0
+                g_scale = np.sqrt(np.mean(g ** 2, axis=(0, 2, 3)))
+                roundoff = np.finfo(np.float32).eps * g_scale / step
+                ratio = roundoff / np.maximum(trunc, 1e-300)
+                rounds_meta.append({"step": step.copy(), "trunc": trunc,
+                                    "roundoff": roundoff})
+                if np.all((ratio > 0.1) & (ratio < 10.0)):
+                    break                       # balanced within 10×
+                step = step * np.clip(ratio ** (1.0 / 3.0), 0.05, 20.0)
+            if adaptive:
+                result.metadata["fd_adaptive"] = rounds_meta
         finally:
             pbar.close()
-        g = np.concatenate(g_parts)            # (nsims, nθ, S, nθ)
         # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
-        Hs = np.einsum("njsi,s->nji", g, weights) / step[None, :, None]
+        Hs = np.einsum("njsi,s->nji", g, weights) / step_used[None, :, None]
         Hs = np.swapaxes(Hs, 1, 2)             # → (nsims, nθ rows, nθ cols)
-        failed = np.concatenate(failed_parts)
         bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
         if bad.any():
             if not skip_errors:

@@ -1,0 +1,75 @@
+"""Frequentist calibration of the headline output θ̂ ± σθ.
+
+The reference's only accuracy oracle is ONE realization's z-score bound
+(θ̂/σ < 2, test/runtests.jl:31).  These tests run the full pipeline
+(muse_fit + get_J + get_H) over ~20 independent data realizations per
+model and check the two properties MUSE is defined by
+(arXiv:2112.09354 §2):
+
+  * unbiasedness: mean(θ̂ − θ_true) consistent with 0 at the MC level —
+    the "U" in MUSE;
+  * σθ calibration: z = (θ̂ − θ_true)/σθ is ~N(0,1) across realizations —
+    ≈95% within 1.96, and the empirical std(z) near 1 (a σθ wrong by 2×
+    fails both).
+
+Statistics of the bounds: with R ≈ 20 draws and true coverage 0.95,
+P(>4 misses) ≈ 0.3%; √R·mean(z) ~ N(0,1) so |·| < 3 is a 3σ test;
+std(z) has SE ≈ 1/√(2R) ≈ 0.16, so [0.45, 1.75] is ≳4σ generous while
+still catching a 2× σθ error.  Each realization re-jits (x_obs is a
+compile-time constant), so shapes are kept small.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from muse_tpu import muse
+from muse_tpu.models import funnel_problem
+from muse_tpu.models.grf import grf_problem
+
+
+def _check_calibration(zs, max_miss=4):
+    zs = np.asarray(zs)
+    R = len(zs)
+    misses = int((np.abs(zs) > 1.96).sum())
+    assert misses <= max_miss, (
+        f"coverage failure: {misses}/{R} realizations outside ±1.96σ "
+        f"(zs={np.round(zs, 2)})")
+    assert abs(zs.mean()) * np.sqrt(R) < 3.0, (
+        f"bias: mean z = {zs.mean():.3f} over {R} realizations "
+        f"(√R·mean = {zs.mean() * np.sqrt(R):.2f})")
+    assert 0.45 < zs.std(ddof=1) < 1.75, (
+        f"σθ miscalibrated: std(z) = {zs.std(ddof=1):.3f}")
+
+
+def test_funnel_coverage_and_unbiasedness():
+    """128-dim scalar funnel, 20 seeded realizations, θ_true = 0."""
+    zs = []
+    for i in range(20):
+        prob = funnel_problem(128, theta_true=0.0,
+                              data_key=jax.random.PRNGKey(1000 + i))
+        res = muse(prob, 0.3, nsims=24, theta_rtol=3e-2,
+                   get_covariance=True,
+                   key=jax.random.fold_in(jax.random.PRNGKey(7), i))
+        zs.append(float(res.theta[0] / res.sigma[0]))
+    _check_calibration(zs)
+
+
+def test_grf_coverage_and_unbiasedness():
+    """32² GRF amplitude, 14 seeded realizations, full pipeline with the
+    implicit-diff H + exact Fourier preconditioner."""
+    from muse_tpu import MuseResult, get_H, get_J
+    from muse_tpu.solver.muse import muse_fit
+
+    zs = []
+    for i in range(14):
+        prob = grf_problem(n=32, theta_true=0.0,
+                           data_key=jax.random.PRNGKey(2000 + i))
+        key = jax.random.fold_in(jax.random.PRNGKey(8), i)
+        res = MuseResult()
+        muse_fit(res, prob, 0.3, nsims=24, theta_rtol=3e-2, key=key)
+        get_J(res, prob, nsims=24, key=key)
+        get_H(res, prob, nsims=4, implicit_diff=True,
+              implicit_diff_precond=prob.suggested_h_precond, key=key)
+        zs.append(float(res.theta[0] / res.sigma[0]))
+    _check_calibration(zs, max_miss=3)

@@ -161,3 +161,21 @@ def test_cg_solver_matches_direct_wiener():
     assert bool(auxc["converged"].all())
     np.testing.assert_allclose(np.asarray(Zc), np.asarray(Zd),
                                atol=2e-3)
+
+
+def test_grf_suggested_h_precond_is_exact_inverse():
+    """The whitened-GRF z-Hessian is exactly I + C/σ² (Fourier-diagonal),
+    so the model's suggested_h_precond must leave implicit-diff get_H
+    unchanged while collapsing the per-column CG residuals to roundoff
+    (the Pl hook, src/muse.jl:312)."""
+    from muse_tpu import MuseResult, get_H
+
+    prob = grf_problem(n=16, data_key=jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(5)
+    r1, r2 = MuseResult(), MuseResult()
+    get_H(r1, prob, 0.2, key=key, nsims=4, implicit_diff=True)
+    get_H(r2, prob, 0.2, key=key, nsims=4, implicit_diff=True,
+          implicit_diff_precond=prob.suggested_h_precond)
+    np.testing.assert_allclose(r2.H, r1.H, rtol=1e-3)
+    resid = np.max(np.asarray(r2.metadata["implicit_diff_cg_resid"]))
+    assert resid < 1e-4

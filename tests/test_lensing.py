@@ -87,10 +87,13 @@ def test_implicit_H_with_model_preconditioner():
 
     MAP tolerances are tightened beyond the reference defaults: the
     implicit formula assumes exact stationarity and the FD estimator a
-    converged fiducial fit, and on this nonlinear model the coarse
-    defaults bias the two estimates ±10% in OPPOSITE directions
-    (measured: fit_atol 1e-1 → 31.5, 1e-3 → 28.66; FD grad_z_atol 1e-2 →
-    26.6, 1e-3 → 28.60 — tight solves agree to 0.2%)."""
+    converged fiducial fit, and on this nonlinear model coarse fits
+    bias the estimates by 10-30% (measured with the packed-Fourier
+    VarPro solver: fit_atol 1e-2 → H 36.4, 1e-3 → 28.657 vs FD-at-1e-3
+    28.654 — tight solves agree to 0.01%; the nonconvex latent
+    landscape has near-stationary points whose curvature differs from
+    the MAP's, so implicit-diff H on a 1e-2 fit is NOT trustworthy
+    here)."""
     from muse_tpu import MuseResult, get_H, get_J
 
     prob = lensing_problem(n=16, data_key=jax.random.PRNGKey(42))
@@ -98,7 +101,7 @@ def test_implicit_H_with_model_preconditioner():
     get_J(res, prob, 0.0, nsims=6, key=jax.random.PRNGKey(3))
     get_H(res, prob, 0.0, nsims=3, implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
-          implicit_fit_atol=1e-2, key=jax.random.PRNGKey(4))
+          implicit_fit_atol=1e-3, key=jax.random.PRNGKey(4))
     H_imp = res.H.copy()
     resid = np.asarray(res.metadata["implicit_diff_cg_resid"])
     assert np.isfinite(H_imp).all()

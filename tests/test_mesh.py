@@ -133,6 +133,50 @@ def test_mesh_chunk_widths_are_odd_per_device(prob):
     np.testing.assert_allclose(r1.theta, r2.theta, rtol=1e-5)
 
 
+def test_field_sharded_grf_fft_model_matches():
+    """The FIELD-AXIS capability on the real FFT model (SURVEY §2.2's
+    beyond-reference axis, VERDICT r2 missing #1): a 4-way-sims × 2-way-
+    field mesh shards the flattened latent INSIDE each CG MAP solve.  On
+    this CPU backend the fft thunk rejects GSPMD-partitioned layouts
+    (fft_thunk.cc:167 RET_CHECK), so fft_mode='auto' must select the
+    einsum-DFT path (ops/dft.py), keep the grid row-sharded through the
+    transform, and reproduce the unsharded full pipeline."""
+    from muse_tpu.models.grf import grf_problem
+    key = jax.random.PRNGKey(11)
+    mesh = make_sims_mesh(sims=4, field=2)
+    prob2 = grf_problem(n=16, data_key=jax.random.PRNGKey(42), mesh=mesh)
+    assert prob2.grf_config.fft_mode == "matmul"
+    prob1 = grf_problem(n=16, data_key=jax.random.PRNGKey(42))
+    assert prob1.grf_config.fft_mode == "fft"
+
+    r1 = muse(prob1, 0.5, nsims=7, maxsteps=4, key=key)
+    r2 = muse(prob2, 0.5, nsims=7, maxsteps=4, key=key, mesh=mesh)
+    np.testing.assert_allclose(r2.theta, r1.theta, rtol=1e-4, atol=1e-4)
+    get_J(r1, prob1, key=key, nsims=7)
+    get_J(r2, prob2, key=key, nsims=7, mesh=mesh)
+    np.testing.assert_allclose(r2.J, r1.J, rtol=1e-3)
+    get_H(r1, prob1, key=key, nsims=3, implicit_diff=True)
+    get_H(r2, prob2, key=key, nsims=3, implicit_diff=True, mesh=mesh)
+    np.testing.assert_allclose(r2.H, r1.H, rtol=1e-3)
+
+
+def test_matmul_dft_matches_jnp_fft():
+    """ops/dft.py einsum DFT vs jnp.fft on random batches (the oracle
+    shares no code with the plan construction)."""
+    from muse_tpu.ops.dft import plan_dft2
+    for n in (8, 16):
+        p = plan_dft2(n)
+        U = jax.random.normal(jax.random.PRNGKey(n), (5, n, n))
+        np.testing.assert_allclose(np.asarray(p.rfft2(U)),
+                                   np.asarray(jnp.fft.rfft2(U)),
+                                   rtol=1e-4, atol=1e-4)
+        V = jnp.fft.rfft2(U) * (1.3 + jnp.arange(n // 2 + 1))
+        np.testing.assert_allclose(
+            np.asarray(p.irfft2(V)),
+            np.asarray(jnp.fft.irfft2(V, s=(n, n))),
+            rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_lensing_varpro_runs_close():
     """The nonlinear flagship under GSPMD: VarPro + Newton-CG polish
     (linear_transpose, jax.linearize, lax.cond) sims-sharded.

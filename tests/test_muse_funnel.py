@@ -250,3 +250,28 @@ def test_implicit_H_preconditioner():
     res_pre = np.asarray(r_pre.metadata["implicit_diff_cg_resid"])
     assert res_pre.max() < 0.1 * res_plain.max()
     np.testing.assert_allclose(r_pre.H, r_plain.H, rtol=0.2)
+
+
+def test_adaptive_fd_recovers_from_bad_step(prob):
+    """fd_order='adaptive' (the central_fdm(3,1)-role analog,
+    src/muse.jl:300): starting from a deliberately 100×-too-large step,
+    the step-rebalancing rounds must bring H to the analytic value, where
+    plain fd_order=4 at the same step is dominated by truncation error."""
+    from muse_tpu import MuseResult, get_H
+
+    key = jax.random.PRNGKey(13)
+    expected = funnel_analytic_H(0.0, DIM)
+    bad_step = 5.0
+
+    r4, ra = MuseResult(), MuseResult()
+    get_H(r4, prob, 0.0, key=key, nsims=4, step=bad_step, fd_order=4,
+          grad_z_atol=1e-3)
+    get_H(ra, prob, 0.0, key=key, nsims=4, step=bad_step,
+          fd_order="adaptive", grad_z_atol=1e-3)
+    err4 = abs(float(r4.H[0, 0]) - expected) / expected
+    erra = abs(float(ra.H[0, 0]) - expected) / expected
+    assert erra < 0.05, f"adaptive H off by {erra:.1%}"
+    assert erra < err4, (erra, err4)
+    meta = ra.metadata["fd_adaptive"]
+    assert len(meta) >= 2              # at least one rebalancing round
+    assert meta[-1]["step"][0] < bad_step
