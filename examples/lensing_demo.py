@@ -15,7 +15,12 @@ Run:  python examples/lensing_demo.py  [--n 128 --nsims 64 --theta-true 0.3]
 """
 
 import argparse
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
 
 import jax
 import numpy as np
@@ -35,23 +40,51 @@ def main():
     prob = lensing_problem(n=args.n, theta_true=args.theta_true,
                            data_key=jax.random.PRNGKey(7))
 
-    # alpha=0.4 damps the first Newton step: with the crude iteration-1
-    # H⁻¹ the default 0.7 overshoots θ into the strongly-lensed regime
-    # where large-n MAP solves grind at the f32 resolution floor;
-    # max_batch bounds per-program device time at large n
+    # alpha damps the Newton steps: with the crude iteration-1 H⁻¹ the
+    # default 0.7 overshoots θ into the strongly-lensed regime where
+    # large-n MAP solves grind at the f32 resolution floor (measured at
+    # 512²: an overshoot to θ≈1.7 froze all 17 MAPs and the garbage
+    # score spuriously "converged").  The regularize hook adds the
+    # standard trust-region guard for log-amplitude parameters: clamp
+    # each θ-step to ±0.5.  max_batch bounds per-program device time.
+    import numpy as _np
+    prev_th = {"v": _np.zeros(1)}          # θ₀ of the fit below
+
+    def clamp_step(th_t):
+        th_t = _np.clip(th_t, prev_th["v"] - 0.3, prev_th["v"] + 0.3)
+        prev_th["v"] = _np.asarray(th_t)
+        return th_t
+
+    # Flagship sizes (n ≥ 512) need the robust outer-loop configuration
+    # (measured at 512², truth 0.3): the sims-variance H⁻¹ underestimates
+    # the true score slope ~30× away from the root, so undamped steps
+    # limit-cycle against the clamp — Broyden secant updates
+    # (Hinv_update="broyden", reference src/muse.jl:192-205) learn the
+    # real slope; the ±0.3 step clamp keeps θ out of the strongly-lensed
+    # regime where lockstep MAPs grind (trust-region practice for
+    # log-amplitude parameters); and grad_z_atol 3e-3 tightens the MAPs
+    # so per-sim basin hopping doesn't make the CRN score ragged in θ.
+    big = args.n >= 512
+    atol = 3e-3 if big else 1e-2
     t0 = time.perf_counter()
     res = MuseResult()
     muse_fit(res, prob, 0.0, nsims=args.nsims, z0=prob.suggested_z0,
-             alpha=0.4, max_batch=(None if args.n < 128 else 33),
+             alpha=(0.4 if not big else 0.3),
+             Hinv_update=("sims" if not big else "broyden"),
+             regularize=(None if not big else clamp_step),
+             grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-2),
+             max_batch=(None if args.n < 128 else (33 if not big else 9)),
              key=jax.random.PRNGKey(1), progress=args.progress)
     t_fit = time.perf_counter() - t0
 
-    get_J(res, prob, nsims=args.nsims, key=jax.random.PRNGKey(1),
-          progress=args.progress)
+    get_J(res, prob, nsims=args.nsims, grad_z_atol=atol,
+          max_batch=(9 if big else None),
+          key=jax.random.PRNGKey(1), progress=args.progress)
     get_H(res, prob, nsims=max(4, args.nsims // 8), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
-          implicit_fit_atol=1e-2, key=jax.random.PRNGKey(1),
-          progress=args.progress)
+          implicit_fit_atol=(1e-2 if not big else 1e-3),
+          max_batch=(9 if big else None),
+          key=jax.random.PRNGKey(1), progress=args.progress)
     t_total = time.perf_counter() - t0
 
     th, sig = float(res.theta[0]), float(res.sigma[0])

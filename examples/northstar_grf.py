@@ -13,7 +13,12 @@ Run:  python examples/northstar_grf.py  [--nsims 512 --n 1024]
 """
 
 import argparse
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
 
 import jax
 import numpy as np
@@ -27,28 +32,44 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--nsims", type=int, default=512)
     ap.add_argument("--max-batch", type=int, default=128)
+    ap.add_argument("--repeat", action="store_true",
+                    help="run the pipeline twice (one CompiledProblem) "
+                         "and report the second, all-compiled pass — "
+                         "the remote-compile TPU path makes first-pass "
+                         "walls noisy by ±60s of recompilation")
     args = ap.parse_args()
 
     prob = grf_problem(n=args.n, sigma_noise=0.01, solver="cg",
                        data_key=jax.random.PRNGKey(42))
     mle, fisher_sig = grf_marginal_mle(prob.x, prob.grf_config)
 
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+    spec = ThetaSpec.from_example(0.0)
+    comp = CompiledProblem(prob, spec, spec.flatten(0.5))
+
+    for _ in range(2 if args.repeat else 1):
+        run(args, prob, comp, mle, fisher_sig)
+
+
+def run(args, prob, comp, mle, fisher_sig):
     t0 = time.perf_counter()
     res = MuseResult()
     # θ_rtol must support the accuracy target asserted below: the
     # convergence metric is the θ-step in σ units, so 1e-3 accuracy in a
     # σ≈8e-3 posterior needs steps driven well below 0.1σ
     muse_fit(res, prob, 0.5, nsims=args.nsims, max_batch=args.max_batch,
-             theta_rtol=1e-5, key=jax.random.PRNGKey(1))
+             theta_rtol=1e-5, compiled=comp, key=jax.random.PRNGKey(1))
     t_fit = time.perf_counter() - t0
     get_J(res, prob, nsims=args.nsims, max_batch=args.max_batch,
-          key=jax.random.PRNGKey(1))           # gs reused from the fit
+          compiled=comp, key=jax.random.PRNGKey(1))  # gs reused from fit
     t_j = time.perf_counter() - t0 - t_fit
     # the exact Fourier-diagonal z-Hessian inverse (the reference's Pl
     # hook, src/muse.jl:312) collapses the per-column CG to O(1) iterations
     get_H(res, prob, nsims=max(8, args.nsims // 10), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
-          max_batch=args.max_batch, key=jax.random.PRNGKey(1))
+          max_batch=args.max_batch, compiled=comp,
+          key=jax.random.PRNGKey(1))
     t_total = time.perf_counter() - t0
 
     th, sig = float(res.theta[0]), float(res.sigma[0])

@@ -149,8 +149,15 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     # src/interface.jl:168-171); the muse loop's warm starts recover
     # them at the next (better-damped) θ.
     if gn_max_outer is None:
-        gn_max_outer = 100 if n < 128 else 40
-    polish_max_outer = 80 if n < 128 else 30
+        gn_max_outer = 100 if n < 128 else (40 if n < 512 else 25)
+    polish_max_outer = 80 if n < 128 else (30 if n < 512 else 20)
+    # the Armijo loop re-solves the inner problem per trial, so it
+    # dominates the worst-case program length; at flagship sizes the
+    # per-program ceiling is a platform constraint (the tunnel kills
+    # multi-minute device programs — "TPU worker crashed"), so trials
+    # and inner iterations scale down with the budget
+    varpro_max_ls = 15 if n < 512 else 6
+    inner_cg_eff = gn_cg_maxiter if n < 512 else min(gn_cg_maxiter, 35)
 
     # normalize the φ spectrum so rms|∇φ| = defl_scale pixels at θ=0:
     # E[|∇φ|²] = (1/n²) Σ_modes (kx²+ky²) C_φ(k) — exact, host-side
@@ -407,7 +414,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                                   axes=(-2, -1)))
         res = batched_varpro(
             obs_op, xs, Z0[:, :n2], Zt0, sigma2=s2, g_atol=atol,
-            max_outer=gn_max_outer, inner_maxiter=gn_cg_maxiter,
+            max_outer=gn_max_outer, inner_maxiter=inner_cg_eff,
+            max_ls=varpro_max_ls,
             m=m_eff, precond_lin=precond_lin, lin_sup=lin_sup)
         uz_hat = jnp.fft.irfft2(_unpack(res.z_lin), s=(n, n),
                                 axes=(-2, -1)).reshape(B, -1)

@@ -27,28 +27,71 @@ import numpy as np
 __all__ = ["fused_fft_ok", "safe_lane_count", "validate_fft_lanes"]
 
 
+def _verdict_cache_path():
+    import os
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.expanduser("~/.cache"))
+    return os.path.join(base, "muse_tpu", "fft_check.json")
+
+
+def _platform_key(n, batch):
+    dev = jax.devices()[0]
+    return (f"{jax.default_backend()}/{getattr(dev, 'device_kind', '?')}/"
+            f"jax{jax.__version__}/n{n}/b{batch}")
+
+
 @functools.lru_cache(maxsize=None)
 def fused_fft_ok(n: int, batch: int) -> bool:
     """Empirically check the fused batched-FFT pattern at (n², batch).
 
     Compares ``sum(irfft2(√C·rfft2(U))²)`` computed with the FFT fused
-    into the reduction vs with the FFT materialized.  Cached per shape.
+    into the reduction vs with the FFT materialized.  The verdict is
+    cached in-process AND on disk per (backend, device kind, jax
+    version, n, batch) — at 1024² the check's large-shape compiles cost
+    ~100 s on the remote-compile TPU path, far too much to pay per
+    process for a once-per-machine question.  Delete
+    ``~/.cache/muse_tpu/fft_check.json`` to force re-validation.
     """
+    import json
+    import os
+
+    key = _platform_key(n, batch)
+    path = _verdict_cache_path()
+    try:
+        with open(path) as fh:
+            cache = json.load(fh)
+        if key in cache:
+            return bool(cache[key])
+    except (OSError, ValueError):
+        cache = {}
+
     C = jnp.asarray(
         (np.hypot(np.fft.fftfreq(n)[:, None] * n,
                   np.fft.rfftfreq(n)[None, :] * n) + 1.0) ** -2.0,
         jnp.float32)
-    U = jax.random.normal(jax.random.PRNGKey(0), (batch, n, n))
+    U = jax.jit(lambda k: jax.random.normal(k, (batch, n, n)))(
+        jax.random.PRNGKey(0))
 
     def chain(Ub):
         return jnp.fft.irfft2(jnp.sqrt(C) * jnp.fft.rfft2(Ub, axes=(-2, -1)),
                               s=(n, n), axes=(-2, -1))
 
     fused = jax.jit(lambda Ub: jnp.sum(chain(Ub) ** 2, axis=(-2, -1)))
+    # materialized variant: the FFT output leaves the program as a
+    # graph output, so fusion cannot span the transform
     mat = jax.jit(chain)
     f = np.asarray(fused(U))
     r = np.asarray(jnp.sum(mat(U) ** 2, axis=(-2, -1)))
-    return bool(np.allclose(f, r, rtol=1e-3))
+    ok = bool(np.allclose(f, r, rtol=1e-3))
+
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cache[key] = ok
+        with open(path, "w") as fh:
+            json.dump(cache, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass
+    return ok
 
 
 def validate_fft_lanes(n: int, width: int, n_shards: int = 1) -> None:
