@@ -39,4 +39,4 @@ __all__ = [
     "transforms",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
