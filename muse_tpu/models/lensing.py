@@ -105,7 +105,7 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                     defl_scale: float = 0.7, infer_z_amp: bool = False,
                     theta_true=None, data_key=None, x_obs=None,
                     prior_std: float = 3.0,
-                    solver: str = "varpro", gn_cg_maxiter: int = 50,
+                    solver: str = "auto", gn_cg_maxiter: int = 50,
                     gn_max_outer: Optional[int] = None,
                     varpro_m: Optional[int] = None) -> SimpleMuseProblem:
     """Build the lensing-style MUSE problem (see module docstring).
@@ -115,12 +115,23 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     ``defl_scale`` sets the rms deflection in pixels at θ=0.
 
     ``solver`` picks the latent MAP algorithm:
-      * ``"varpro"`` (default) — batched variable projection
-        (ops/varpro.py): the observation is linear in the unlensed field
-        given the potential, so the field is eliminated by an exact
-        Fourier-preconditioned PCG and a reduced L-BFGS runs over the
-        potential alone (measured ~4× fewer outer iterations than joint
-        L-BFGS, and a lower objective);
+      * ``"auto"`` (default) — ``"varpro"`` below 1024², ``"newton"`` at
+        n ≥ 1024 on TPU backends.  Reason (measured, this platform): at
+        1024² the compiled VarPro program (jax.linear_transpose of the
+        lens operator inside lax.while_loop) is VALUE-CORRUPTED by XLA
+        at specific lane counts — identical per-lane inputs give
+        ‖ẑ‖ ~ 5×10⁵ vs 80 and objective 10¹¹ vs 5×10⁵ at batch 13/17
+        while batch 5 is exact; sampling and the Newton-CG program are
+        batch-consistent at every width tested.  Same bug family as the
+        fused batched-FFT miscompile (utils/fft_check.py), different
+        trigger; Newton-CG with exact HVPs is the safe-and-fast path at
+        flagship sizes.
+      * ``"varpro"`` — batched variable projection (ops/varpro.py): the
+        observation is linear in the unlensed field given the potential,
+        so the field is eliminated by an exact Fourier-preconditioned
+        PCG (in packed-Fourier coordinates) and a reduced L-BFGS runs
+        over the potential alone (measured ~4× fewer outer iterations
+        than joint L-BFGS, and a lower objective);
       * ``"newton"`` — batched trust-region Newton-CG over the joint
         latent (ops/newton_cg.py), exact HVPs;
       * ``"lbfgs"`` — the generic batched L-BFGS path (the reference's
@@ -458,6 +469,9 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                "g_norm": gnorm, "neg_logp": fobj}
         return Zf, aux
 
+    if solver == "auto":
+        solver = ("newton" if n >= 1024
+                  and jax.default_backend() not in ("cpu",) else "varpro")
     custom = {"gn": zhat_newton, "newton": zhat_newton,
               "varpro": zhat_varpro, "lbfgs": None}[solver]
 

@@ -200,7 +200,11 @@ def batched_newton_cg(
         Hd = hvp(d)
         pred = -(jnp.sum(st.g * d, -1) + 0.5 * jnp.sum(d * Hd, -1))
         f_try, g_try = fn(st.U + d)
-        actual = st.f - f_try
+        # f32-resolution floor on the actual reduction: at large |f| a
+        # genuine small improvement is unresolvable in f (|f|·ε), which
+        # would reject every step and stall the lane (see ops/varpro.py)
+        f_floor = 8.0 * jnp.finfo(dtype).eps * jnp.abs(st.f)
+        actual = st.f - f_try + f_floor
         rho = actual / jnp.where(pred > 0, pred, 1e-30)
         ok = (pred > 0) & (rho > eta) & jnp.isfinite(f_try)
         take = ok & active

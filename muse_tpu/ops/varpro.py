@@ -230,6 +230,16 @@ def batched_varpro(
             t, accepted, *_ = carry
             return (t < max_ls) & ~jnp.all(accepted | ~active)
 
+        # Armijo at the f32 resolution floor: at large |f| (field models:
+        # |f| ~ n²) the requested decrease c1·α·dg can be smaller than
+        # |f|·ε — the comparison is then unresolvable and every trial is
+        # rejected, stalling the lane for max_ls wasted inner solves
+        # (measured at 1024²: 5/17 lanes burned the whole budget while
+        # the rest converged in 2 iterations).  Accepting any non-increase
+        # within a few ulps lets those lanes keep moving on gradient
+        # information, which f32 still resolves.
+        f_floor = 8.0 * jnp.finfo(dtype).eps * jnp.abs(st.f)
+
         def ls_body(carry):
             (t, accepted, alpha, U_new, Z_new, f_new, g_new, rs_new,
              ii) = carry
@@ -238,7 +248,8 @@ def batched_varpro(
             # trial objective + envelope gradient in ONE AD pass — the
             # gradient of the accepting trial is the next iterate's g
             f_try, g_try = _f_and_g(U_try, Z_try)
-            ok = (f_try <= st.f + c1 * alpha * dg) & jnp.isfinite(f_try)
+            ok = (f_try <= st.f + c1 * alpha * dg + f_floor) \
+                & jnp.isfinite(f_try)
             take = ok & ~accepted
             U_new = jnp.where(take[:, None], U_try, U_new)
             Z_new = jnp.where(take[:, None], Z_try, Z_new)
