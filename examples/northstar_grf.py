@@ -37,6 +37,13 @@ def main():
                          "and report the second, all-compiled pass — "
                          "the remote-compile TPU path makes first-pass "
                          "walls noisy by ±60s of recompilation")
+    ap.add_argument("--hinv", default="sims",
+                    choices=["sims", "broyden", "diagonal_broyden"],
+                    help="outer-loop H⁻¹ update (src/muse.jl:190-205). "
+                         "Measured here: equal (8 vs 9 iterations) — "
+                         "the sims-variance H⁻¹ is accurate for this "
+                         "linear model; broyden pays off on nonlinear "
+                         "families (see examples/lensing_demo.py)")
     args = ap.parse_args()
 
     prob = grf_problem(n=args.n, sigma_noise=0.01, solver="cg",
@@ -59,7 +66,8 @@ def run(args, prob, comp, mle, fisher_sig):
     # convergence metric is the θ-step in σ units, so 1e-3 accuracy in a
     # σ≈8e-3 posterior needs steps driven well below 0.1σ
     muse_fit(res, prob, 0.5, nsims=args.nsims, max_batch=args.max_batch,
-             theta_rtol=1e-5, compiled=comp, key=jax.random.PRNGKey(1))
+             theta_rtol=1e-5, Hinv_update=args.hinv, compiled=comp,
+             key=jax.random.PRNGKey(1))
     t_fit = time.perf_counter() - t0
     get_J(res, prob, nsims=args.nsims, max_batch=args.max_batch,
           compiled=comp, key=jax.random.PRNGKey(1))  # gs reused from fit

@@ -107,7 +107,9 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                     prior_std: float = 3.0,
                     solver: str = "auto", gn_cg_maxiter: int = 50,
                     gn_max_outer: Optional[int] = None,
-                    varpro_m: Optional[int] = None) -> SimpleMuseProblem:
+                    varpro_m: Optional[int] = None,
+                    varpro_explicit_adjoint: bool = True
+                    ) -> SimpleMuseProblem:
     """Build the lensing-style MUSE problem (see module docstring).
 
     θ (scalar, or 2-vector with ``infer_z_amp``) is the log-amplitude of
@@ -117,15 +119,19 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     ``solver`` picks the latent MAP algorithm:
       * ``"auto"`` (default) — ``"varpro"`` below 1024², ``"newton"`` at
         n ≥ 1024 on TPU backends.  Reason (measured, this platform): at
-        1024² the compiled VarPro program (jax.linear_transpose of the
-        lens operator inside lax.while_loop) is VALUE-CORRUPTED by XLA
-        at specific lane counts — identical per-lane inputs give
+        1024² the compiled VarPro inner-CG program is VALUE-CORRUPTED
+        by XLA at specific lane counts — identical per-lane inputs give
         ‖ẑ‖ ~ 5×10⁵ vs 80 and objective 10¹¹ vs 5×10⁵ at batch 13/17
         while batch 5 is exact; sampling and the Newton-CG program are
-        batch-consistent at every width tested.  Same bug family as the
-        fused batched-FFT miscompile (utils/fft_check.py), different
-        trigger; Newton-CG with exact HVPs is the safe-and-fast path at
-        flagship sizes.
+        batch-consistent at every width tested.  Replacing the
+        AD transpose with the hand-written adjoint (``lin_ops`` below)
+        fixes width 13 but NOT width 17, and ``fused_fft_ok(1024, 17)``
+        passes — so the trigger is the FFT-chain structure of the
+        whole while_loop program, is not detectable by the simple
+        fused-FFT probe, and cannot be engineered around term-by-term.
+        Same bug family as the fused batched-FFT miscompile
+        (utils/fft_check.py), different trigger; Newton-CG with exact
+        HVPs is the safe-and-fast path at flagship sizes.
       * ``"varpro"`` — batched variable projection (ops/varpro.py): the
         observation is linear in the unlensed field given the potential,
         so the field is eliminated by an exact Fourier-preconditioned
@@ -392,6 +398,60 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                 return _lens_parts_zf(zf1, u_p.reshape(n, n), th_flat)[0]
             return jax.vmap(one)(Up, zf)
 
+        czs = a_z * sqCz                  # (n, nr) real spectral scale
+
+        def lin_ops(Up):
+            """Explicit (G, Gᵀ) of the lens operator at fixed potential.
+
+            Replaces jax.linearize + jax.linear_transpose in the inner
+            PCG: the lens map is Σ_j D_j·irfft2(S_j·c·unpack(z̃)) with
+            pixel diagonals D_j ∈ {1, dx, dy, ½dx², ½dy², dx·dy} and
+            spectral diagonals S_j ∈ {1, ikx, iky, −kx², −ky², −kx·ky},
+            so the exact adjoint in packed coordinates is
+            pack(herm_sym(Σ_j conj(S_j)·c·rfft2(D_j·w))) — the packing
+            is an isometry, making adjoint-of-irfft2 = pack∘rfft2.
+            Why hand-written: provably exact (adjoint-identity and
+            AD-transpose parity tests, tests/test_newton_varpro.py),
+            drops the linearize/transpose machinery from the compiled
+            program, and narrows the platform's 1024² batch-width
+            value corruption (this module's docstring): with it width
+            13 compiles correctly where the AD transpose corrupted —
+            though width 17 still corrupts, so the 1024² Newton-CG
+            routing stands.  Deflections are computed once per inner
+            solve (the linearize hoist, written out); the zero third
+            lane keeps the flattened FFT batch odd (3B) per the
+            fused-batched-FFT rule (utils/fft_check)."""
+            pf = (phi_norm * a_phi * sqCp) * jnp.fft.rfft2(
+                Up.reshape(B, n, n), axes=(-2, -1))
+            sp = jnp.stack([1j * kxj * pf, 1j * kyj * pf,
+                            jnp.zeros_like(pf)], 1)
+            dd = jnp.fft.irfft2(sp, s=(n, n), axes=(-2, -1))
+            dx, dy = dd[:, 0], dd[:, 1]
+
+            def G(Zt):
+                zf = _unpack(Zt) * czs
+                s1 = jnp.stack([zf, 1j * kxj * zf, 1j * kyj * zf], 1)
+                sdd = jnp.stack([-(kxj ** 2) * zf, -(kyj ** 2) * zf,
+                                 -(kxj * kyj) * zf], 1)
+                a = jnp.fft.irfft2(s1, s=(n, n), axes=(-2, -1))
+                b = jnp.fft.irfft2(sdd, s=(n, n), axes=(-2, -1))
+                return (a[:, 0] + dx * a[:, 1] + dy * a[:, 2]
+                        + 0.5 * (dx * dx * b[:, 0] + dy * dy * b[:, 1])
+                        + dx * dy * b[:, 2])
+
+            def Gt(W):
+                s1 = jnp.stack([W, dx * W, dy * W], 1)
+                sdd = jnp.stack([0.5 * dx * dx * W, 0.5 * dy * dy * W,
+                                 dx * dy * W], 1)
+                F1 = jnp.fft.rfft2(s1, axes=(-2, -1))
+                F2 = jnp.fft.rfft2(sdd, axes=(-2, -1))
+                zf_adj = czs * (
+                    F1[:, 0] - 1j * kxj * F1[:, 1] - 1j * kyj * F1[:, 2]
+                    - (kxj ** 2) * F2[:, 0] - (kyj ** 2) * F2[:, 1]
+                    - (kxj * kyj) * F2[:, 2])
+                return _pack(_herm_sym(zf_adj))
+            return G, Gt
+
         # exact Fourier-diagonal preconditioner, now a pointwise multiply
         Mz_packed = jnp.tile(
             (1.0 / (1.0 + (a_z ** 2) * Cz0 / s2)).reshape(-1), 2)
@@ -427,7 +487,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
             obs_op, xs, Z0[:, :n2], Zt0, sigma2=s2, g_atol=atol,
             max_outer=gn_max_outer, inner_maxiter=inner_cg_eff,
             max_ls=varpro_max_ls,
-            m=m_eff, precond_lin=precond_lin, lin_sup=lin_sup)
+            m=m_eff, precond_lin=precond_lin, lin_sup=lin_sup,
+            lin_ops=lin_ops if varpro_explicit_adjoint else None)
         uz_hat = jnp.fft.irfft2(_unpack(res.z_lin), s=(n, n),
                                 axes=(-2, -1)).reshape(B, -1)
         Z = jnp.concatenate([res.u_nl, uz_hat], -1)

@@ -58,8 +58,8 @@ def _sup(v):
 
 
 @partial(jax.jit, static_argnames=(
-    "obs_op", "precond_lin", "lin_sup", "m", "max_outer", "max_ls",
-    "inner_maxiter"))
+    "obs_op", "precond_lin", "lin_sup", "lin_ops", "m", "max_outer",
+    "max_ls", "inner_maxiter"))
 def batched_varpro(
     obs_op: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     xs: jnp.ndarray,
@@ -76,6 +76,8 @@ def batched_varpro(
     inner_kappa: float = 0.1,
     precond_lin: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     lin_sup: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    lin_ops: Optional[Callable[[jnp.ndarray], Tuple[Callable, Callable]]]
+    = None,
 ) -> VarproResult:
     """Minimize ½‖x − obs_op(u, z)‖²/σ² + ½‖u‖² + ½‖z‖² in lockstep.
 
@@ -98,6 +100,21 @@ def batched_varpro(
         here — a smooth pixel-space gradient concentrates into few
         Fourier modes, so the raw spectral max-abs can be ~√N stricter
         than the pixel-space sup the tolerance was calibrated for.
+      lin_ops: optional EXPLICIT linearization factory
+        ``(Unl) -> (G, Gt)`` returning the batched linear operator
+        ``G: (B, Nlin) -> (B, *obs)`` (= ``obs_op(Unl, ·)``) and its
+        exact adjoint ``Gt: (B, *obs) -> (B, Nlin)`` under the Euclidean
+        inner products of both spaces.  When given, the inner PCG uses
+        these instead of ``jax.linearize``/``jax.linear_transpose`` —
+        a performance/hardening hook (hand-fused operator pairs, no
+        linearize machinery in the compiled program).  Note it is NOT a
+        complete workaround for the TPU backend's batch-width
+        value-corruption family (models/lensing.py docstring): measured
+        at 1024², the explicit adjoint fixes width 13 but width 17
+        still corrupts — the trigger is the FFT-chain program structure
+        inside ``lax.while_loop``, not the transpose construct alone.
+        Correctness contract: ⟨G z, w⟩ = ⟨z, Gt w⟩ exactly — test with
+        the adjoint-identity check in tests/test_newton_varpro.py.
     """
     B, Nnl = Unl0.shape
     dtype = Unl0.dtype
@@ -119,8 +136,11 @@ def batched_varpro(
         pass and REUSED by the jvp, so CG matvecs pay only the z-path
         transforms (measured ~36% of the matvec FLOPs saved for the
         lensing forward)."""
-        _, G = jax.linearize(lambda V: obs_op(Unl, V), Z_ex)
-        Gt = lambda W: jax.linear_transpose(G, Z_ex)(W)[0]
+        if lin_ops is not None:
+            G, Gt = lin_ops(Unl)
+        else:
+            _, G = jax.linearize(lambda V: obs_op(Unl, V), Z_ex)
+            Gt = lambda W: jax.linear_transpose(G, Z_ex)(W)[0]
 
         def A(V):
             return V + Gt(G(V)) / sigma2

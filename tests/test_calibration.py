@@ -55,6 +55,32 @@ def test_funnel_coverage_and_unbiasedness():
     _check_calibration(zs)
 
 
+def test_lensing_coverage_and_unbiasedness():
+    """16² lensing (the nonlinear flagship family), 10 seeded
+    realizations, full pipeline: VarPro MAP solves, Broyden H⁻¹ (the
+    fit path the flagship demo uses), implicit-diff H with the model
+    preconditioner.  Extends the single-realization flagship evidence
+    (BENCHMARKS.md 256²/512² rows) with a frequentist coverage check."""
+    from muse_tpu import MuseResult, get_H, get_J
+    from muse_tpu.solver.muse import muse_fit
+    from muse_tpu.models.lensing import lensing_problem
+
+    zs = []
+    for i in range(10):
+        prob = lensing_problem(16, theta_true=0.0,
+                               data_key=jax.random.PRNGKey(3000 + i))
+        key = jax.random.fold_in(jax.random.PRNGKey(9), i)
+        res = MuseResult()
+        muse_fit(res, prob, 0.3, nsims=16, theta_rtol=3e-2,
+                 Hinv_update="broyden", key=key)
+        get_J(res, prob, nsims=16, key=key)
+        get_H(res, prob, nsims=4, implicit_diff=True,
+              implicit_diff_precond=prob.suggested_h_precond, key=key)
+        zs.append(float(res.theta[0] / res.sigma[0]))
+    # R=10: P(>3 misses at true 95% coverage) ≈ 0.1%
+    _check_calibration(zs, max_miss=3)
+
+
 def test_grf_coverage_and_unbiasedness():
     """32² GRF amplitude, 14 seeded realizations, full pipeline with the
     implicit-diff H + exact Fourier preconditioner."""

@@ -209,3 +209,63 @@ def test_varpro_warm_start_cuts_iterations():
     assert bool(a2["converged"].all())
     assert int(a2["iterations"].max()) <= max(
         2, int(a1["iterations"].max()) // 5)
+
+
+class TestLensingExplicitAdjoint:
+    """The hand-written (G, Gᵀ) pair behind lensing's VarPro inner CG
+    (models/lensing.py lin_ops) must agree EXACTLY with the AD-derived
+    linearization it replaces.  The pair exists because the TPU backend
+    value-corrupts the transpose-of-irfft2 program inside lax.while_loop
+    at specific batch widths (BENCHMARKS.md round-3 finding) — so the
+    oracle here is the AD path on CPU, where linear_transpose is exact.
+    """
+
+    @pytest.fixture(scope="class", params=[16, 12])
+    def ops(self, request):
+        import muse_tpu.ops.varpro as vp
+        from muse_tpu.models.lensing import lensing_problem
+        n = request.param
+        captured = {}
+        orig = vp.batched_varpro
+
+        def spy(obs_op, xs, U0, Z0, **kw):
+            captured.update(obs_op=obs_op, lin_ops=kw.get("lin_ops"))
+            return orig(obs_op, xs, U0, Z0, **kw)
+
+        vp.batched_varpro = spy
+        try:
+            p = lensing_problem(n, solver="varpro")
+            th = jnp.asarray(0.5)          # strong lensing: dx, dy large
+            keys = jax.random.split(jax.random.PRNGKey(5), 3)
+            xs, _ = jax.jit(jax.vmap(p.sample_x_z,
+                                     in_axes=(0, None)))(keys, th)
+            p.custom_zhat(xs, jnp.zeros((3, 2 * n * n), jnp.float32),
+                          th, 1e-2)
+        finally:
+            vp.batched_varpro = orig
+        assert captured.get("lin_ops") is not None
+        kU, kZ, kW = jax.random.split(jax.random.PRNGKey(0), 3)
+        Up = 0.5 * jax.random.normal(kU, (3, n * n))
+        Zt = jax.random.normal(kZ, (3, 2 * n * (n // 2 + 1)))
+        W = jax.random.normal(kW, (3, n, n))
+        G, Gt = captured["lin_ops"](Up)
+        return captured["obs_op"], G, Gt, Up, Zt, W
+
+    def test_forward_matches_obs_op(self, ops):
+        obs_op, G, Gt, Up, Zt, W = ops
+        np.testing.assert_allclose(np.asarray(G(Zt)),
+                                   np.asarray(obs_op(Up, Zt)),
+                                   atol=2e-6)
+
+    def test_adjoint_identity(self, ops):
+        obs_op, G, Gt, Up, Zt, W = ops
+        lhs = float(jnp.sum(G(Zt) * W))
+        rhs = float(jnp.sum(Zt * Gt(W)))
+        assert abs(lhs - rhs) <= 1e-5 * max(abs(lhs), 1.0)
+
+    def test_transpose_matches_ad(self, ops):
+        obs_op, G, Gt, Up, Zt, W = ops
+        Gt_ad = jax.linear_transpose(lambda V: obs_op(Up, V),
+                                     jnp.zeros_like(Zt))
+        np.testing.assert_allclose(np.asarray(Gt(W)),
+                                   np.asarray(Gt_ad(W)[0]), atol=2e-6)
