@@ -83,13 +83,23 @@ def build(n_grid, nsims, seed=0, model="grf"):
 
 
 def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3):
+    """Median of per-call walls, every output blocked.
+
+    Blocking the WHOLE output (not one leaf) and taking the median of
+    individual calls guards against two measurement hazards seen on the
+    tunneled TPU runtime: async dispatch returning before the program
+    ran (one observed run timed 0.1 ms/call — a pure-dispatch artifact),
+    and one-off hiccups after a worker restart."""
     out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)  # compile
-    jax.block_until_ready(out["g"])
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    jax.block_until_ready(out)
+    walls = []
+    for _ in range(max(reps, 3)):
+        t0 = time.perf_counter()
         out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)
-        jax.block_until_ready(out["g"])
-    return (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    return walls[len(walls) // 2]
 
 
 def time_sequential_baseline(n_grid, model, nlanes=8, reps=3):
@@ -147,6 +157,13 @@ def main():
     # ≥8 distinct sims, ≥3 passes, spread recorded (VERDICT r1 item 10).
     seq_one, seq_spread = time_sequential_baseline(
         args.grid, args.model, nlanes=max(8, args.baseline_lanes))
+
+    # physical floor: the batched step contains >= one sim's serial work,
+    # so batched < per-sim wall means the measurement was an artifact
+    # (dispatch-only timing / worker restart) — re-measure once
+    if batched_s < seq_one:
+        batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
+                              reps=5)
     seq_total = seq_one * (args.nsims + 1)
 
     suffix = "" if args.model == "grf" else f"_{args.model}"
