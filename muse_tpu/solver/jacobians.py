@@ -141,8 +141,16 @@ def get_J(
     compiled: Optional[CompiledProblem] = None,
     progress: bool = False,
     observed=None,
+    _warn_reuse: bool = True,
 ) -> MuseResult:
     """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``).
+
+    Incremental/resume semantics (src/muse.jl:499-506): scores already in
+    ``result.gs`` — including the fit's own per-sim scores stored by
+    ``muse_fit`` (src/muse.jl:231) — count toward ``nsims``; only the
+    remainder is simulated.  An explicit call that reuses existing scores
+    warns (the internal ``get_covariance`` flow, where this reuse is the
+    reference's designed behavior, does not).
 
     ``problem`` may also be a PPL model function with ``observed=``
     (src/turing.jl:248-256 overload analog)."""
@@ -152,9 +160,25 @@ def get_J(
     nsims_existing = len(result.gs)
     nsims_remaining = nsims - nsims_existing
 
+    if nsims_existing and nsims_remaining < nsims and _warn_reuse:
+        # the reference's resume semantics (src/muse.jl:231,499-506): a
+        # result that went through muse!/muse_fit already carries the
+        # fit's per-sim scores in result.gs, and only nsims_remaining
+        # fresh sims are added.  Fit scores come from warm-started MAP
+        # solves; on multi-basin latent landscapes (large lensing fields)
+        # they select basins more consistently than fresh true-z-started
+        # solves, which is the variance the θ̂ root actually sees — see
+        # BENCHMARKS.md "Which J is the right one".  Surface the reuse so
+        # it is never silent.
+        warnings.warn(
+            f"get_J: reusing {nsims_existing} existing per-sim scores "
+            f"(fit or previous get_J); only {max(nsims_remaining, 0)} new "
+            "sims will run. Clear result.gs or use a fresh MuseResult for "
+            "an independent re-estimate (reference resume semantics, "
+            "src/muse.jl:499-506).")
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
-        g_parts, failed_parts = [], []
+        g_parts, failed_parts, conv_parts = [], [], []
         # per-sim progress ticks, one per completed device chunk (the
         # RemoteProgress analog, src/muse.jl:507)
         pbar = ProgressReporter(nsims_remaining, "get_J", enabled=progress)
@@ -165,11 +189,23 @@ def get_J(
                                   jnp.asarray(grad_z_atol, dtype))
                 g_parts.append(np.asarray(out["g"], np.float64)[:c])
                 failed_parts.append(np.asarray(out["failed"])[:c])
+                if "converged" in out:
+                    conv_parts.append(np.asarray(out["converged"])[:c])
                 pbar.step(inc=c)
         finally:
             pbar.close()
         g = np.concatenate(g_parts)
         failed = np.concatenate(failed_parts)
+        if conv_parts:
+            # per-sim convergence warning — the reference emits this from
+            # inside every ẑ_at_θ call (src/interface.jl:168-171)
+            nonconv = ~np.concatenate(conv_parts) & ~failed
+            if nonconv.any():
+                warnings.warn(
+                    f"get_J: {int(nonconv.sum())}/{nonconv.size} MAP solves "
+                    "did not converge within tolerance; their scores feed J "
+                    "unconverged (reference semantics, "
+                    "src/interface.jl:168-171).")
         if failed.any():
             if not skip_errors:
                 raise RuntimeError(

@@ -275,3 +275,34 @@ def test_adaptive_fd_recovers_from_bad_step(prob):
     meta = ra.metadata["fd_adaptive"]
     assert len(meta) >= 2              # at least one rebalancing round
     assert meta[-1]["step"][0] < bad_step
+
+
+def test_get_J_reuse_semantics_and_warning(prob):
+    """muse_fit stores its per-sim scores in result.gs (src/muse.jl:231);
+    a subsequent explicit get_J reuses them (resume semantics,
+    src/muse.jl:499-506) and must SAY so — silent full reuse at flagship
+    scale is how a 1300× J discrepancy went unnoticed (BENCHMARKS.md
+    "Which J is the right one").  The internal get_covariance flow, where
+    the reuse is the reference's designed behavior, stays silent."""
+    res = MuseResult()
+    muse_fit(res, prob, 1.0, nsims=10, maxsteps=2, key=jax.random.PRNGKey(3))
+    assert len(res.gs) == 10            # fit populated result.gs
+    fit_gs = np.asarray(res.gs).copy()
+
+    with pytest.warns(UserWarning, match="reusing 10 existing"):
+        get_J(res, prob, nsims=10, key=jax.random.PRNGKey(5))
+    # full reuse: no new sims ran, J is the covariance of the fit's scores
+    np.testing.assert_array_equal(np.asarray(res.gs), fit_gs)
+
+    # partial reuse warns too, and tops up to nsims
+    with pytest.warns(UserWarning, match="reusing 10 existing"):
+        get_J(res, prob, nsims=14, key=jax.random.PRNGKey(5))
+    assert len(res.gs) == 14
+
+    # a fresh result computes everything, no warning
+    import warnings as _w
+    r2 = MuseResult()
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        get_J(r2, prob, 1.0, nsims=5, key=jax.random.PRNGKey(5))
+    assert len(r2.gs) == 5
