@@ -55,7 +55,7 @@ def main():
         prev_th["v"] = _np.asarray(th_t)
         return th_t
 
-    # Flagship sizes (n ≥ 512) need the robust outer-loop configuration
+    # Flagship sizes (n ≥ 256) need the robust outer-loop configuration
     # (measured at 512², truth 0.3): the sims-variance H⁻¹ underestimates
     # the true score slope ~30× away from the root, so undamped steps
     # limit-cycle against the clamp — Broyden secant updates
@@ -64,7 +64,12 @@ def main():
     # regime where lockstep MAPs grind (trust-region practice for
     # log-amplitude parameters); and grad_z_atol 3e-3 tightens the MAPs
     # so per-sim basin hopping doesn't make the CRN score ragged in θ.
-    big = args.n >= 512
+    # The 256² threshold is calibration-driven: across 8 data
+    # realizations the plain (alpha=0.4, sims-H⁻¹, unclamped) branch
+    # diverged on its first draw (θ walked to 3.5 in two steps off a
+    # 30×-underestimated slope), while the robust branch recovers θ to
+    # within ~1σ (BENCHMARKS.md "Lensing σθ calibration at 256²").
+    big = args.n >= 256
     atol = 3e-3 if big else 1e-2
     t0 = time.perf_counter()
     res = MuseResult()

@@ -141,7 +141,7 @@ def get_J(
     compiled: Optional[CompiledProblem] = None,
     progress: bool = False,
     observed=None,
-    _warn_reuse: bool = True,
+    warn_reuse: bool = True,
 ) -> MuseResult:
     """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``).
 
@@ -160,7 +160,7 @@ def get_J(
     nsims_existing = len(result.gs)
     nsims_remaining = nsims - nsims_existing
 
-    if nsims_existing and nsims_remaining < nsims and _warn_reuse:
+    if nsims_existing and nsims_remaining < nsims and warn_reuse:
         # the reference's resume semantics (src/muse.jl:231,499-506): a
         # result that went through muse!/muse_fit already carries the
         # fit's per-sim scores in result.gs, and only nsims_remaining

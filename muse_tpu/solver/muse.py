@@ -337,7 +337,7 @@ def muse_fit(
         from .jacobians import get_H, get_J
         get_J(result, problem, key=key, nsims=nsims,
               grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
-              compiled=comp, progress=progress, _warn_reuse=False)
+              compiled=comp, progress=progress, warn_reuse=False)
         get_H(result, problem, key=key, nsims=max(1, nsims // 10),
               grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
               compiled=comp, progress=progress)
