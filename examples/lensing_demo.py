@@ -46,13 +46,12 @@ def main():
     # 512²: an overshoot to θ≈1.7 froze all 17 MAPs and the garbage
     # score spuriously "converged").  The regularize hook adds the
     # standard trust-region guard for log-amplitude parameters: clamp
-    # each θ-step to ±0.5.  max_batch bounds per-program device time.
-    import numpy as _np
-    prev_th = {"v": _np.zeros(1)}          # θ₀ of the fit below
+    # each θ-step to ±0.3.  max_batch bounds per-program device time.
+    prev_th = {"v": np.zeros(1)}           # θ₀ of the fit below
 
     def clamp_step(th_t):
-        th_t = _np.clip(th_t, prev_th["v"] - 0.3, prev_th["v"] + 0.3)
-        prev_th["v"] = _np.asarray(th_t)
+        th_t = np.clip(th_t, prev_th["v"] - 0.3, prev_th["v"] + 0.3)
+        prev_th["v"] = np.asarray(th_t)
         return th_t
 
     # Flagship sizes (n ≥ 256) need the robust outer-loop configuration

@@ -140,6 +140,12 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     if fft_mode == "auto":
         fft_mode = ("matmul" if has_field_axis
                     and jax.default_backend() == "cpu" else "fft")
+    if config is not None and fft_mode != cfg.fft_mode:
+        # the problem's closures capture cfg, so resolving a different
+        # transform mode must not retroactively switch a caller-shared
+        # config (and any earlier problem built from it) — copy instead
+        import copy
+        cfg = copy.copy(cfg)
     cfg.set_fft_mode(fft_mode)
 
     if has_field_axis:

@@ -105,7 +105,8 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                     defl_scale: float = 0.7, infer_z_amp: bool = False,
                     theta_true=None, data_key=None, x_obs=None,
                     prior_std: float = 3.0,
-                    solver: str = "auto", gn_cg_maxiter: int = 50,
+                    solver: str = "auto",
+                    gn_cg_maxiter: Optional[int] = None,
                     gn_max_outer: Optional[int] = None,
                     varpro_m: Optional[int] = None,
                     varpro_explicit_adjoint: bool = True
@@ -149,8 +150,10 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     batch.  Lanes that exhaust the budget FREEZE with a warning and feed
     the score unconverged (reference non-convergence semantics,
     src/interface.jl:168-171) — the warm-started next outer iteration
-    normally recovers them, but at large n raise ``gn_max_outer`` or
-    loosen ``grad_z_atol`` if the non-convergence warnings persist.
+    normally recovers them, but at large n raise ``gn_max_outer`` (and/or
+    ``gn_cg_maxiter``, whose default inner-CG budget also drops from 50
+    to 35 at n ≥ 512) or loosen ``grad_z_atol`` if the non-convergence
+    warnings persist; explicitly passed budgets are always respected.
     """
     cfg_z = GrfConfig(n, sigma_noise, gamma_z, 1.0, False)
     cfg_p = GrfConfig(n, sigma_noise, gamma_phi, 1.0, False)
@@ -174,7 +177,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     # multi-minute device programs — "TPU worker crashed"), so trials
     # and inner iterations scale down with the budget
     varpro_max_ls = 15 if n < 512 else 6
-    inner_cg_eff = gn_cg_maxiter if n < 512 else min(gn_cg_maxiter, 35)
+    explicit_cg = gn_cg_maxiter is not None
+    if not explicit_cg:
+        gn_cg_maxiter = 50             # Newton-CG inner budget default
+    # VarPro's inner-CG default scales down at flagship n, but an
+    # explicitly passed budget is always respected
+    inner_cg_eff = gn_cg_maxiter if (explicit_cg or n < 512) else 35
 
     # normalize the φ spectrum so rms|∇φ| = defl_scale pixels at θ=0:
     # E[|∇φ|²] = (1/n²) Σ_modes (kx²+ky²) C_φ(k) — exact, host-side
@@ -531,8 +539,11 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         return Zf, aux
 
     if solver == "auto":
-        solver = ("newton" if n >= 1024
-                  and jax.default_backend() not in ("cpu",) else "varpro")
+        # the value-corruption justifying the reroute was measured only
+        # on the TPU-family backends (docstring above); CPU and GPU keep
+        # the faster VarPro path
+        tpu_like = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        solver = "newton" if n >= 1024 and tpu_like else "varpro"
     custom = {"gn": zhat_newton, "newton": zhat_newton,
               "varpro": zhat_varpro, "lbfgs": None}[solver]
 
@@ -549,6 +560,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
                              grad_theta_log_like=grad_theta)
     prob.lensing_n = n
     prob.fft_grid = n
+    # resolved budgets, inspectable (the n-dependent defaults are policy
+    # a user should be able to audit; explicit kwargs pass through)
+    prob.solver_budgets = {
+        "solver": solver, "gn_max_outer": gn_max_outer,
+        "polish_max_outer": polish_max_outer,
+        "gn_cg_maxiter": inner_cg_eff, "varpro_max_ls": varpro_max_ls}
 
     def h_precond(w, x, th_flat):
         """Ready-made CG preconditioner for implicit-diff get_H (the Pl

@@ -362,20 +362,30 @@ def get_H(
                 n_shards)
 
         # progress in the reference's units — nsims·(1+nθ·stencil) MAP
-        # solves (src/muse.jl:325): 1 fiducial tick + nθ·S FD ticks per sim
+        # solves (src/muse.jl:325): 1 fiducial tick + nθ·S FD ticks per
+        # sim; extra adaptive rounds grow the total as they start
         units_per_sim = 1 + ntheta * len(offsets)
         max_rounds = 3 if adaptive else 1
-        pbar = ProgressReporter(nsims_remaining * units_per_sim * max_rounds,
+        pbar = ProgressReporter(nsims_remaining * units_per_sim,
                                 "get_H", enabled=progress)
+
+        # fiducial MAPs don't depend on the FD step, so adaptive
+        # rebalancing rounds reuse the round-1 fits (the dominant cost
+        # at field scale) instead of re-solving them
+        fid_cache = []
 
         def fd_pass(step_now):
             g_parts, failed_parts = [], []
-            for chunk, c in _key_chunks(keys, max_batch, mesh, fft_n):
-                fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
-                                      jnp.asarray(grad_z_atol, dtype))
-                pbar.step(inc=c, msg="fiducial fits")
+            first = not fid_cache
+            for ci, (chunk, c) in enumerate(
+                    _key_chunks(keys, max_batch, mesh, fft_n)):
+                if first:
+                    fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
+                                          jnp.asarray(grad_z_atol, dtype))
+                    fid_cache.append(fid["Z"])
+                    pbar.step(inc=c, msg="fiducial fits")
                 out = comp.h_fd(chunk, jnp.asarray(th, dtype),
-                                jnp.asarray(step_now, dtype), fid["Z"],
+                                jnp.asarray(step_now, dtype), fid_cache[ci],
                                 jnp.asarray(grad_z_atol, dtype),
                                 jnp.asarray(offsets, dtype),
                                 n_shards=n_shards)
@@ -388,6 +398,8 @@ def get_H(
         try:
             rounds_meta = []
             for round_i in range(max_rounds):
+                if round_i:
+                    pbar.grow(nsims_remaining * (units_per_sim - 1))
                 step_used = step.copy()
                 g, failed = fd_pass(step)      # g: (nsims, nθ, S, nθ)
                 if not adaptive:

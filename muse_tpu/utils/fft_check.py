@@ -86,9 +86,19 @@ def fused_fft_ok(n: int, batch: int) -> bool:
 
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # merge-on-write + atomic rename: concurrent processes (pytest
+        # workers, the dryrun subprocess) must not drop each other's
+        # ~100s-to-compute verdicts via read-modify-write races
+        try:
+            with open(path) as fh:
+                cache = json.load(fh)
+        except (OSError, ValueError):
+            cache = {}
         cache[key] = ok
-        with open(path, "w") as fh:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(cache, fh, indent=0, sort_keys=True)
+        os.replace(tmp, path)
     except OSError:
         pass
     return ok

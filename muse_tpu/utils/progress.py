@@ -30,6 +30,14 @@ class ProgressReporter:
             except ImportError:
                 pass
 
+    def grow(self, extra: int):
+        """Raise the total after construction (work discovered late,
+        e.g. an extra adaptive-FD rebalancing round)."""
+        self.total += max(extra, 0)
+        if self._tqdm is not None:
+            self._tqdm.total = self.total
+            self._tqdm.refresh()
+
     def step(self, msg: str = "", inc: int = 1):
         self.n += inc
         if not self.enabled:

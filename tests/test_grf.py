@@ -179,3 +179,18 @@ def test_grf_suggested_h_precond_is_exact_inverse():
     np.testing.assert_allclose(r2.H, r1.H, rtol=1e-3)
     resid = np.max(np.asarray(r2.metadata["implicit_diff_cg_resid"]))
     assert resid < 1e-4
+
+
+def test_shared_config_not_mutated_by_fft_mode_resolution():
+    """grf_problem must not switch a caller-shared GrfConfig's transform
+    implementation out from under an earlier problem built from it (the
+    closures capture the config object)."""
+    cfg = GrfConfig(n=16)
+    p1 = grf_problem(cfg)                       # resolves to "fft"
+    assert cfg.fft_mode == "fft"
+    p2 = grf_problem(cfg, fft_mode="matmul")    # must copy, not mutate
+    assert cfg.fft_mode == "fft" and cfg._dft_plan is None
+    # both problems sample identically (einsum DFT == backend fft)
+    x1, _ = jax.jit(p1.sample_x_z)(jax.random.PRNGKey(0), 0.3)
+    x2, _ = jax.jit(p2.sample_x_z)(jax.random.PRNGKey(0), 0.3)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)

@@ -182,3 +182,19 @@ def test_checkpoint_resume_with_varpro(tmp_path, prob):
     # the resumed run's first two iterations are the checkpointed ones
     np.testing.assert_allclose(r2.history[1]["theta"],
                                r1.history[1]["theta"])
+
+
+def test_explicit_budgets_respected_at_large_n():
+    """The n-dependent budget defaults (docstring) must never override an
+    explicitly passed value — a user raising gn_cg_maxiter to cure
+    non-convergence warnings has to actually get the larger budget."""
+    x0 = np.zeros((512, 512), np.float32)
+    p = lensing_problem(n=512, x_obs=x0, gn_cg_maxiter=200, gn_max_outer=70)
+    assert p.solver_budgets["gn_cg_maxiter"] == 200
+    assert p.solver_budgets["gn_max_outer"] == 70
+    p2 = lensing_problem(n=512, x_obs=x0)
+    assert p2.solver_budgets["gn_cg_maxiter"] == 35   # scaled-down default
+    # solver="auto" keeps VarPro on non-TPU backends at flagship size
+    # (the XLA value-corruption reroute is TPU-measured only)
+    p3 = lensing_problem(n=1024, x_obs=np.zeros((1024, 1024), np.float32))
+    assert p3.solver_budgets["solver"] == "varpro"

@@ -306,3 +306,38 @@ def test_get_J_reuse_semantics_and_warning(prob):
         _w.simplefilter("error", UserWarning)
         get_J(r2, prob, 1.0, nsims=5, key=jax.random.PRNGKey(5))
     assert len(r2.gs) == 5
+
+
+def test_adaptive_fd_reuses_fiducial_fits(prob):
+    """Rebalancing rounds must NOT re-run the step-independent fiducial
+    MAPs (at field scale they dominate FD get_H cost) and the progress
+    total must grow per extra round rather than assume all of them."""
+    from muse_tpu import MuseResult, get_H
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    spec = ThetaSpec.from_example(0.0)
+    comp = CompiledProblem(prob, spec, spec.flatten(0.0))
+    calls = {"n": 0}
+    real = comp.h_fiducial
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    comp.h_fiducial = counting     # overwrite the cached_property slot
+    r = MuseResult()
+    get_H(r, prob, 0.0, key=jax.random.PRNGKey(13), nsims=4, step=5.0,
+          fd_order="adaptive", grad_z_atol=1e-3, compiled=comp)
+    assert len(r.metadata["fd_adaptive"]) >= 2    # rebalancing happened
+    assert calls["n"] == 1                         # single-chunk, one pass
+
+
+def test_progress_reporter_grow():
+    from muse_tpu.utils.progress import ProgressReporter
+    p = ProgressReporter(10, "t", enabled=False)
+    p.grow(5)
+    assert p.total == 15
+    p.grow(-3)                     # negative growth is ignored
+    assert p.total == 15
+    p.close()
