@@ -341,3 +341,55 @@ def test_progress_reporter_grow():
     p.grow(-3)                     # negative growth is ignored
     assert p.total == 15
     p.close()
+
+
+def test_get_J_skip_errors_drops_failed_sims():
+    """Reference fault-tolerance semantics (src/muse.jl:515-521): a failed
+    per-sim MAP raises by default, and with skip_errors=True is dropped
+    with a warning while the surviving sims still produce J."""
+    from muse_tpu.adapters.simple import SimpleMuseProblem
+
+    D = 16
+
+    def sxz(key, th):
+        k1, k2 = jax.random.split(key)
+        z = jnp.exp(th / 2) * jax.random.normal(k1, (D,))
+        return z + jax.random.normal(k2, (D,)), z
+
+    def ll(x, z, th):
+        base = -0.5 * (jnp.sum((x - z) ** 2)
+                       + jnp.sum(z ** 2) / jnp.exp(th) + D * th)
+        # poison a deterministic subset of sims (data-mean cut)
+        return base + jnp.where(jnp.mean(x) > 0.15, jnp.nan, 0.0)
+
+    x0 = jnp.zeros((D,))          # healthy observed data
+    prob = SimpleMuseProblem(x0, sxz, ll, lambda t: -t ** 2 / 18)
+    key, nsims = jax.random.PRNGKey(0), 24
+
+    with pytest.raises(RuntimeError, match="skip_errors"):
+        get_J(MuseResult(), prob, 0.0, key=key, nsims=nsims)
+
+    r = MuseResult()
+    with pytest.warns(UserWarning, match="dropping"):
+        get_J(r, prob, 0.0, key=key, nsims=nsims, skip_errors=True)
+    assert 0 < len(r.gs) < nsims
+    assert np.isfinite(r.J).all()
+
+
+def test_broyden_memory_bounded_replay(prob):
+    """Hinv_update='broyden' with a small replay memory (the reference's
+    broyden_memory, src/muse.jl:192-205) still converges on the funnel."""
+    r = MuseResult()
+    muse_fit(r, prob, 1.0, nsims=12, maxsteps=12, Hinv_update="broyden",
+             broyden_memory=2, key=jax.random.PRNGKey(4))
+    assert abs(float(r.theta[0])) < 1.0
+
+
+def test_profile_dir_writes_trace(prob, tmp_path):
+    """profile_dir routes the fit through jax.profiler.trace (the
+    tracing/observability hook, SURVEY §5)."""
+    d = tmp_path / "prof"
+    r = MuseResult()
+    muse_fit(r, prob, 1.0, nsims=6, maxsteps=2, profile_dir=str(d),
+             key=jax.random.PRNGKey(5))
+    assert d.exists() and any(d.rglob("*"))   # trace events were written
