@@ -142,6 +142,7 @@ def get_J(
     progress: bool = False,
     observed=None,
     warn_reuse: bool = True,
+    checkpoint_file: Optional[str] = None,
 ) -> MuseResult:
     """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``).
 
@@ -151,6 +152,14 @@ def get_J(
     remainder is simulated.  An explicit call that reuses existing scores
     warns (the internal ``get_covariance`` flow, where this reuse is the
     reference's designed behavior, does not).
+
+    Scores are appended to ``result.gs`` as each device chunk completes,
+    and ``checkpoint_file`` (beyond-reference; the muse_fit checkpoint
+    analog, src/muse.jl:234) saves the result after every chunk — a
+    flagship-scale J killed mid-run (the platform's multi-minute program
+    kill) resumes at chunk granularity via ``load_result`` + the same
+    call.  CRN prefix identity makes the resume exact as long as no sims
+    were dropped by ``skip_errors``.
 
     ``problem`` may also be a PPL model function with ``observed=``
     (src/turing.jl:248-256 overload analog)."""
@@ -178,42 +187,44 @@ def get_J(
             "src/muse.jl:499-506).")
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
-        g_parts, failed_parts, conv_parts = [], [], []
+        n_dropped = n_nonconv = n_run = 0
         # per-sim progress ticks, one per completed device chunk (the
-        # RemoteProgress analog, src/muse.jl:507)
+        # RemoteProgress analog, src/muse.jl:507); scores land in
+        # result.gs per chunk so a mid-run kill loses at most one chunk
         pbar = ProgressReporter(nsims_remaining, "get_J", enabled=progress)
         try:
             for chunk, c in _key_chunks(keys, max_batch, mesh,
                                         getattr(problem, "fft_grid", None)):
                 out = comp.j_sims(chunk, jnp.asarray(th, dtype),
                                   jnp.asarray(grad_z_atol, dtype))
-                g_parts.append(np.asarray(out["g"], np.float64)[:c])
-                failed_parts.append(np.asarray(out["failed"])[:c])
+                g_c = np.asarray(out["g"], np.float64)[:c]
+                failed_c = np.asarray(out["failed"])[:c]
                 if "converged" in out:
-                    conv_parts.append(np.asarray(out["converged"])[:c])
+                    # the reference emits this from inside every ẑ_at_θ
+                    # call (src/interface.jl:168-171); aggregated below
+                    n_nonconv += int((~np.asarray(out["converged"])[:c]
+                                      & ~failed_c).sum())
+                n_run += c
+                if failed_c.any():
+                    if not skip_errors:
+                        raise RuntimeError(
+                            f"get_J: {int(failed_c.sum())}/{c} MAP solves "
+                            "failed; pass skip_errors=True to drop them.")
+                    n_dropped += int(failed_c.sum())
+                    g_c = g_c[~failed_c]
+                result.gs.extend(list(g_c))
+                if checkpoint_file is not None:
+                    result.save(checkpoint_file)
                 pbar.step(inc=c)
         finally:
             pbar.close()
-        g = np.concatenate(g_parts)
-        failed = np.concatenate(failed_parts)
-        if conv_parts:
-            # per-sim convergence warning — the reference emits this from
-            # inside every ẑ_at_θ call (src/interface.jl:168-171)
-            nonconv = ~np.concatenate(conv_parts) & ~failed
-            if nonconv.any():
-                warnings.warn(
-                    f"get_J: {int(nonconv.sum())}/{nonconv.size} MAP solves "
-                    "did not converge within tolerance; their scores feed J "
-                    "unconverged (reference semantics, "
-                    "src/interface.jl:168-171).")
-        if failed.any():
-            if not skip_errors:
-                raise RuntimeError(
-                    f"get_J: {int(failed.sum())}/{failed.size} MAP solves "
-                    "failed; pass skip_errors=True to drop them.")
-            warnings.warn(f"get_J: dropping {int(failed.sum())} failed sims")
-            g = g[~failed]
-        result.gs.extend(list(g))
+        if n_nonconv:
+            warnings.warn(
+                f"get_J: {n_nonconv}/{n_run} MAP solves did not converge "
+                "within tolerance; their scores feed J unconverged "
+                "(reference semantics, src/interface.jl:168-171).")
+        if n_dropped:
+            warnings.warn(f"get_J: dropping {n_dropped} failed sims")
 
     gs = np.asarray(result.gs)
     result.J = (np.atleast_2d(np.var(gs, ddof=1)) if gs.shape[1] == 1
@@ -245,8 +256,16 @@ def get_H(
     compiled: Optional[CompiledProblem] = None,
     progress: bool = False,
     observed=None,
+    checkpoint_file: Optional[str] = None,
 ) -> MuseResult:
     """Mean Jacobian of the MAP score wrt the sim-generation θ (``get_H!``).
+
+    In implicit-diff mode, per-sim Jacobians land in ``result.Hs`` as
+    each device chunk completes, and ``checkpoint_file`` saves the
+    result after every chunk (see ``get_J``) — resume at chunk
+    granularity via ``load_result`` + the same call (``result.Hs`` counts
+    toward ``nsims``, src/muse.jl:317-319).  In FD mode the checkpoint is
+    written once per completed stencil pass.
 
     ``problem`` may also be a PPL model function with ``observed=``
     (src/turing.jl:248-256 overload analog).
@@ -293,8 +312,10 @@ def get_H(
     keys = sim_keys(key, nsims, salt=1)[nsims_existing:]
 
     if implicit_diff:
-        H_parts, resid_parts = [], []
+        n_dropped = 0
         h_impl = comp.h_implicit_with(implicit_diff_precond)
+        resid_store = result.metadata.setdefault(
+            "implicit_diff_cg_resid", [])
         pbar = ProgressReporter(nsims_remaining, "get_H", enabled=progress)
         try:
             for chunk, c in _key_chunks(keys, max_batch, mesh,
@@ -304,24 +325,26 @@ def get_H(
                     jnp.asarray(implicit_fit_atol, dtype),
                     implicit_diff_cg_maxiter, implicit_diff_cg_tol,
                     implicit_diff_H1_is_zero)
-                H_parts.append(np.asarray(Hs_c, np.float64)[:c])
-                resid_parts.append(np.asarray(resid_c)[:c])
+                Hs_c = np.asarray(Hs_c, np.float64)[:c]
+                resid_c = np.asarray(resid_c)[:c]
+                bad = ~np.isfinite(Hs_c).all(axis=(1, 2))
+                if bad.any():
+                    if not skip_errors:
+                        raise RuntimeError(
+                            f"get_H: {int(bad.sum())}/{c} implicit-diff "
+                            "sims produced non-finite H; pass "
+                            "skip_errors=True.")
+                    n_dropped += int(bad.sum())
+                    Hs_c, resid_c = Hs_c[~bad], resid_c[~bad]
+                result.Hs.extend(list(Hs_c))
+                resid_store.extend(list(resid_c))
+                if checkpoint_file is not None:
+                    result.save(checkpoint_file)
                 pbar.step(inc=c)
         finally:
             pbar.close()
-        Hs = np.concatenate(H_parts)
-        resid = np.concatenate(resid_parts)
-        bad = ~np.isfinite(Hs).all(axis=(1, 2))
-        if bad.any():
-            if not skip_errors:
-                raise RuntimeError(
-                    f"get_H: {int(bad.sum())}/{bad.size} implicit-diff sims "
-                    "produced non-finite H; pass skip_errors=True.")
-            warnings.warn(f"get_H: dropping {int(bad.sum())} failed sims")
-            Hs = Hs[~bad]
-        result.Hs.extend(list(Hs))
-        result.metadata.setdefault("implicit_diff_cg_resid", []).extend(
-            list(resid))
+        if n_dropped:
+            warnings.warn(f"get_H: dropping {n_dropped} failed sims")
     else:
         # FD step ≈ 0.1σ from the J sims (src/muse.jl:411-414)
         if step is None:
@@ -438,6 +461,8 @@ def get_H(
             warnings.warn(f"get_H: dropping {int(bad.sum())} failed sims")
             Hs = Hs[~bad]
         result.Hs.extend(list(Hs))
+        if checkpoint_file is not None:
+            result.save(checkpoint_file)
 
     _reduce_H(result, comp)
     return result

@@ -393,3 +393,58 @@ def test_profile_dir_writes_trace(prob, tmp_path):
     muse_fit(r, prob, 1.0, nsims=6, maxsteps=2, profile_dir=str(d),
              key=jax.random.PRNGKey(5))
     assert d.exists() and any(d.rglob("*"))   # trace events were written
+
+
+def test_get_J_chunk_checkpoint_resume(prob, tmp_path):
+    """A flagship-scale J killed mid-run (the platform's multi-minute
+    program kill) must resume from the per-chunk checkpoint and finish
+    bit-identically to an uninterrupted run (CRN prefix identity)."""
+    from muse_tpu.result import load_result
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    f = str(tmp_path / "j.pkl")
+    key = jax.random.PRNGKey(9)
+
+    r_ref = MuseResult()
+    get_J(r_ref, prob, 0.0, key=key, nsims=12, max_batch=5)
+
+    spec = ThetaSpec.from_example(0.0)
+    comp = CompiledProblem(prob, spec, spec.flatten(0.0))
+    real, calls = comp.j_sims, {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated tunnel kill")
+        return real(*a, **k)
+
+    comp.j_sims = dying
+    r1 = MuseResult()
+    with pytest.raises(RuntimeError, match="tunnel kill"):
+        get_J(r1, prob, 0.0, key=key, nsims=12, max_batch=5,
+              compiled=comp, checkpoint_file=f)
+
+    r2 = load_result(f)
+    assert 0 < len(r2.gs) < 12          # first chunk survived the kill
+    with pytest.warns(UserWarning, match="reusing"):
+        get_J(r2, prob, 0.0, key=key, nsims=12, max_batch=5)
+    np.testing.assert_array_equal(np.asarray(r2.gs), np.asarray(r_ref.gs))
+    np.testing.assert_allclose(r2.J, r_ref.J)
+
+
+def test_get_H_checkpoint_and_incremental_resume(prob, tmp_path):
+    """get_H(checkpoint_file=...) persists per-chunk; reloading and
+    re-calling with the same nsims is a pure no-op (Hs resume counting,
+    src/muse.jl:317-319)."""
+    from muse_tpu.result import load_result
+
+    f = str(tmp_path / "h.pkl")
+    key = jax.random.PRNGKey(10)
+    r = MuseResult()
+    get_H(r, prob, 0.0, key=key, nsims=5, max_batch=3, implicit_diff=True,
+          checkpoint_file=f)
+    r2 = load_result(f)
+    assert len(r2.Hs) == 5
+    get_H(r2, prob, 0.0, key=key, nsims=5, max_batch=3, implicit_diff=True)
+    np.testing.assert_allclose(r2.H, r.H)
