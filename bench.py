@@ -160,10 +160,16 @@ def main():
 
     # physical floor: the batched step contains >= one sim's serial work,
     # so batched < per-sim wall means the measurement was an artifact
-    # (dispatch-only timing / worker restart) — re-measure once
+    # (dispatch-only timing / worker restart) — re-measure once, and if
+    # the artifact persists, publish the floor itself with a flag rather
+    # than a physically impossible speedup
+    floor_violation = False
     if batched_s < seq_one:
         batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
                               reps=5)
+        if batched_s < seq_one:
+            floor_violation = True
+            batched_s = seq_one
     seq_total = seq_one * (args.nsims + 1)
 
     suffix = "" if args.model == "grf" else f"_{args.model}"
@@ -176,6 +182,8 @@ def main():
         "baseline_per_sim_s": round(seq_one, 4),
         "baseline_spread": round(seq_spread, 3),
     }
+    if floor_violation:
+        result["floor_violation"] = True   # batched clamped to the floor
     print(json.dumps(result))
 
 

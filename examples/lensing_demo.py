@@ -81,8 +81,10 @@ def main():
              key=jax.random.PRNGKey(1), progress=args.progress)
     t_fit = time.perf_counter() - t0
 
+    # score reuse from the fit is the intended design here (see
+    # BENCHMARKS.md "Which J is the right one") — don't warn about it
     get_J(res, prob, nsims=args.nsims, grad_z_atol=atol,
-          max_batch=(9 if big else None),
+          max_batch=(9 if big else None), warn_reuse=False,
           key=jax.random.PRNGKey(1), progress=args.progress)
     get_H(res, prob, nsims=max(4, args.nsims // 8), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,

@@ -69,8 +69,10 @@ def run(args, prob, comp, mle, fisher_sig):
              theta_rtol=1e-5, Hinv_update=args.hinv, compiled=comp,
              key=jax.random.PRNGKey(1))
     t_fit = time.perf_counter() - t0
+    # gs reused from the fit — the calibrated design here (BENCHMARKS.md
+    # "Which J is the right one"), so silence the defensive reuse warning
     get_J(res, prob, nsims=args.nsims, max_batch=args.max_batch,
-          compiled=comp, key=jax.random.PRNGKey(1))  # gs reused from fit
+          compiled=comp, key=jax.random.PRNGKey(1), warn_reuse=False)
     t_j = time.perf_counter() - t0 - t_fit
     # the exact Fourier-diagonal z-Hessian inverse (the reference's Pl
     # hook, src/muse.jl:312) collapses the per-column CG to O(1) iterations

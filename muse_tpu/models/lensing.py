@@ -145,15 +145,18 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         only solver, src/interface.jl:162-166).
 
     MAP iteration budgets are n-dependent: ``gn_max_outer`` defaults to
-    100 below 128² but **40 at n ≥ 128** (polish 80 → 30), bounding the
-    lockstep device time one stalled lane can impose on a large-field
-    batch.  Lanes that exhaust the budget FREEZE with a warning and feed
-    the score unconverged (reference non-convergence semantics,
+    100 below 128², **40 at n ≥ 128**, and **25 at n ≥ 512** (polish
+    80 → 30 → 20 over the same tiers), bounding the lockstep device time
+    one stalled lane can impose on a large-field batch.  Lanes that
+    exhaust the budget FREEZE with a warning and feed the score
+    unconverged (reference non-convergence semantics,
     src/interface.jl:168-171) — the warm-started next outer iteration
     normally recovers them, but at large n raise ``gn_max_outer`` (and/or
-    ``gn_cg_maxiter``, whose default inner-CG budget also drops from 50
-    to 35 at n ≥ 512) or loosen ``grad_z_atol`` if the non-convergence
-    warnings persist; explicitly passed budgets are always respected.
+    ``gn_cg_maxiter``; VarPro's *inner* elimination-CG budget, reported
+    as ``varpro_inner_cg_maxiter`` in ``solver_budgets``, also drops
+    from the Newton-CG/polish value of 50 to 35 at n ≥ 512) or loosen
+    ``grad_z_atol`` if the non-convergence warnings persist; explicitly
+    passed budgets are always respected.
     """
     cfg_z = GrfConfig(n, sigma_noise, gamma_z, 1.0, False)
     cfg_p = GrfConfig(n, sigma_noise, gamma_phi, 1.0, False)
@@ -565,7 +568,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     prob.solver_budgets = {
         "solver": solver, "gn_max_outer": gn_max_outer,
         "polish_max_outer": polish_max_outer,
-        "gn_cg_maxiter": inner_cg_eff, "varpro_max_ls": varpro_max_ls}
+        # gn_cg_maxiter is what Newton-CG and the VarPro polish actually
+        # run with; VarPro's inner elimination-CG has its own (scaled)
+        # budget — report both so the audit matches the device programs
+        "gn_cg_maxiter": gn_cg_maxiter,
+        "varpro_inner_cg_maxiter": inner_cg_eff,
+        "varpro_max_ls": varpro_max_ls}
 
     def h_precond(w, x, th_flat):
         """Ready-made CG preconditioner for implicit-diff get_H (the Pl

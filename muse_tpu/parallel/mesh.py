@@ -56,15 +56,11 @@ class SimsMesh:
         return (-b) % self.n_sims_shards
 
     def pad_lanes(self, arr):
-        """Pad the lane axis to a multiple of the mesh by repeating the
-        last lane (padded lanes compute real-but-discarded work; callers
-        slice outputs back to the true lane count host-side)."""
+        """Pad the lane axis to a multiple of the mesh (shared last-lane
+        repeat rule, utils/fft_check.pad_lanes_to)."""
+        from ..utils.fft_check import pad_lanes_to
         arr = jnp.asarray(arr)
-        pad = self.pad_count(arr.shape[0])
-        if pad:
-            arr = jnp.concatenate(
-                [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
-        return arr
+        return pad_lanes_to(arr, arr.shape[0] + self.pad_count(arr.shape[0]))
 
     def shard_sims(self, arr, field: bool = False):
         """Pad the lane axis to the mesh size and place it sharded over

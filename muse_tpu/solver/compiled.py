@@ -239,7 +239,7 @@ class CompiledProblem:
         odd total alone would still give even per-device shards under a
         mesh, exactly the family measured broken for fused batched FFTs.
         """
-        from ..utils.fft_check import safe_lane_count
+        from ..utils.fft_check import pad_lanes_to, safe_lane_count
 
         def run(keys, th, steps, Zfid, atol, offsets, n_shards=1):
             nsims = keys.shape[0]
@@ -256,15 +256,14 @@ class CompiledProblem:
             flat_keys = keys_b.reshape((-1,) + keys.shape[1:])
             flat_th = th_pert.reshape((-1, ntheta))
             M = nsims * ntheta * ns
-            pad = safe_lane_count(M, n_shards) - M
+            width = safe_lane_count(M, n_shards)
             Z0 = jnp.broadcast_to(Zfid[:, None, None, :],
                                   (nsims, ntheta, ns, self.nz)
                                   ).reshape((-1, self.nz))
-            if pad:
-                def _pad(a):
-                    return jnp.concatenate(
-                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
-                flat_keys, flat_th, Z0 = map(_pad, (flat_keys, flat_th, Z0))
+            if width > M:
+                flat_keys, flat_th, Z0 = (
+                    pad_lanes_to(a, width)
+                    for a in (flat_keys, flat_th, Z0))
             xs, _ = jax.vmap(self._sample_flat)(flat_keys, flat_th)
             Z, aux = self._solve_maps(xs, Z0, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)

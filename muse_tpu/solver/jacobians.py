@@ -62,7 +62,8 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None):
     """
     import jax.numpy as jnp
 
-    from ..utils.fft_check import safe_lane_count, validate_fft_lanes
+    from ..utils.fft_check import (pad_lanes_to, safe_lane_count,
+                                   validate_fft_lanes)
 
     n = keys.shape[0]
     step = n if max_batch is None else max_batch
@@ -76,10 +77,7 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None):
     for i in range(0, n, step):
         chunk = keys[i:i + step]
         c = chunk.shape[0]
-        if c < width:
-            chunk = jnp.concatenate(
-                [chunk,
-                 jnp.broadcast_to(chunk[-1:], (width - c,) + chunk.shape[1:])])
+        chunk = pad_lanes_to(chunk, width)
         if mesh is not None:
             chunk = mesh.shard_sims(chunk)
         yield chunk, c
@@ -169,7 +167,7 @@ def get_J(
     nsims_existing = len(result.gs)
     nsims_remaining = nsims - nsims_existing
 
-    if nsims_existing and nsims_remaining < nsims and warn_reuse:
+    if nsims_existing and warn_reuse:
         # the reference's resume semantics (src/muse.jl:231,499-506): a
         # result that went through muse!/muse_fit already carries the
         # fit's per-sim scores in result.gs, and only nsims_remaining
@@ -260,12 +258,14 @@ def get_H(
 ) -> MuseResult:
     """Mean Jacobian of the MAP score wrt the sim-generation θ (``get_H!``).
 
-    In implicit-diff mode, per-sim Jacobians land in ``result.Hs`` as
-    each device chunk completes, and ``checkpoint_file`` saves the
-    result after every chunk (see ``get_J``) — resume at chunk
-    granularity via ``load_result`` + the same call (``result.Hs`` counts
-    toward ``nsims``, src/muse.jl:317-319).  In FD mode the checkpoint is
-    written once per completed stencil pass.
+    In implicit-diff mode and fixed-step FD mode, per-sim Jacobians land
+    in ``result.Hs`` as each device chunk completes, and
+    ``checkpoint_file`` saves the result after every chunk (see
+    ``get_J``) — resume at chunk granularity via ``load_result`` + the
+    same call (``result.Hs`` counts toward ``nsims``,
+    src/muse.jl:317-319).  With ``fd_order="adaptive"`` the step may be
+    rebalanced and the stencil pass redone, so Hs finalize — and the
+    checkpoint is written — only once, after the last round.
 
     ``problem`` may also be a PPL model function with ``observed=``
     (src/turing.jl:248-256 overload analog).
@@ -397,7 +397,23 @@ def get_H(
         # at field scale) instead of re-solving them
         fid_cache = []
 
-        def fd_pass(step_now):
+        def _to_Hs(g, failed, step_used):
+            # H_sim[i,j] = d g_i / d θsim_j (columns = perturbed θ comp.)
+            Hs = np.einsum("njsi,s->nji", g,
+                           weights) / step_used[None, :, None]
+            Hs = np.swapaxes(Hs, 1, 2)       # → (n, nθ rows, nθ cols)
+            bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
+            if bad.any() and not skip_errors:
+                raise RuntimeError(
+                    f"get_H: {int(bad.sum())}/{bad.size} FD sims failed; "
+                    "pass skip_errors=True to drop them.")
+            return Hs[~bad], int(bad.sum())
+
+        def fd_pass(step_now, commit=None):
+            """One full stencil pass; ``commit(g_c, failed_c)`` — when
+            given — finalizes each chunk immediately (kill-resilient
+            non-adaptive path); otherwise the whole pass is returned for
+            the adaptive step-rebalance."""
             g_parts, failed_parts = [], []
             first = not fid_cache
             for ci, (chunk, c) in enumerate(
@@ -412,57 +428,65 @@ def get_H(
                                 jnp.asarray(grad_z_atol, dtype),
                                 jnp.asarray(offsets, dtype),
                                 n_shards=n_shards)
-                g_parts.append(np.asarray(out["g"], np.float64)[:c])
-                failed_parts.append(
-                    np.asarray(out["failed"])[:c].any(axis=(1, 2)))
+                g_c = np.asarray(out["g"], np.float64)[:c]
+                failed_c = np.asarray(out["failed"])[:c].any(axis=(1, 2))
+                if commit is not None:
+                    commit(g_c, failed_c)
+                else:
+                    g_parts.append(g_c)
+                    failed_parts.append(failed_c)
                 pbar.step(inc=c * ntheta * len(offsets), msg="FD columns")
-            return np.concatenate(g_parts), np.concatenate(failed_parts)
+            if commit is None:
+                return np.concatenate(g_parts), np.concatenate(failed_parts)
 
+        n_dropped = 0
         try:
-            rounds_meta = []
-            for round_i in range(max_rounds):
-                if round_i:
-                    pbar.grow(nsims_remaining * (units_per_sim - 1))
-                step_used = step.copy()
-                g, failed = fd_pass(step)      # g: (nsims, nθ, S, nθ)
-                if not adaptive:
-                    break
-                # per-column error balance (central_fdm's adaptive role):
-                # truncation of the ε estimate ≈ |d_ε − d_2ε|/3, roundoff
-                # ≈ eps_f32·scale(g)/ε; balance c·ε² = δ/ε at
-                # ε* = ε·(round/trunc)^(1/3)
-                d_e = (g[:, :, 0, :] - g[:, :, 1, :]) / (2 * step[None, :,
-                                                                  None])
-                d_2e = (g[:, :, 2, :] - g[:, :, 3, :]) / (4 * step[None, :,
-                                                                   None])
-                trunc = np.sqrt(np.mean((d_e - d_2e) ** 2,
-                                        axis=(0, 2))) / 3.0
-                g_scale = np.sqrt(np.mean(g ** 2, axis=(0, 2, 3)))
-                roundoff = np.finfo(np.float32).eps * g_scale / step
-                ratio = roundoff / np.maximum(trunc, 1e-300)
-                rounds_meta.append({"step": step.copy(), "trunc": trunc,
-                                    "roundoff": roundoff})
-                if np.all((ratio > 0.1) & (ratio < 10.0)):
-                    break                       # balanced within 10×
-                step = step * np.clip(ratio ** (1.0 / 3.0), 0.05, 20.0)
-            if adaptive:
+            if not adaptive:
+                # per-chunk commit + checkpoint, same kill-resilience as
+                # the implicit path (fixed step → each chunk's Hs final)
+                def commit(g_c, failed_c):
+                    nonlocal n_dropped
+                    Hs_c, dropped = _to_Hs(g_c, failed_c, step)
+                    n_dropped += dropped
+                    result.Hs.extend(list(Hs_c))
+                    if checkpoint_file is not None:
+                        result.save(checkpoint_file)
+
+                fd_pass(step, commit=commit)
+            else:
+                rounds_meta = []
+                for round_i in range(max_rounds):
+                    if round_i:
+                        pbar.grow(nsims_remaining * (units_per_sim - 1))
+                    step_used = step.copy()
+                    g, failed = fd_pass(step)  # g: (nsims, nθ, S, nθ)
+                    # per-column error balance (central_fdm's adaptive
+                    # role): truncation of the ε estimate ≈ |d_ε−d_2ε|/3,
+                    # roundoff ≈ eps_f32·scale(g)/ε; balance c·ε² = δ/ε
+                    # at ε* = ε·(round/trunc)^(1/3)
+                    d_e = (g[:, :, 0, :] - g[:, :, 1, :]) / (
+                        2 * step[None, :, None])
+                    d_2e = (g[:, :, 2, :] - g[:, :, 3, :]) / (
+                        4 * step[None, :, None])
+                    trunc = np.sqrt(np.mean((d_e - d_2e) ** 2,
+                                            axis=(0, 2))) / 3.0
+                    g_scale = np.sqrt(np.mean(g ** 2, axis=(0, 2, 3)))
+                    roundoff = np.finfo(np.float32).eps * g_scale / step
+                    ratio = roundoff / np.maximum(trunc, 1e-300)
+                    rounds_meta.append({"step": step.copy(), "trunc": trunc,
+                                        "roundoff": roundoff})
+                    if np.all((ratio > 0.1) & (ratio < 10.0)):
+                        break                   # balanced within 10×
+                    step = step * np.clip(ratio ** (1.0 / 3.0), 0.05, 20.0)
                 result.metadata["fd_adaptive"] = rounds_meta
+                Hs, n_dropped = _to_Hs(g, failed, step_used)
+                result.Hs.extend(list(Hs))
+                if checkpoint_file is not None:
+                    result.save(checkpoint_file)
         finally:
             pbar.close()
-        # H_sim[i, j] = d g_i / d θsim_j  (columns = perturbed θ component)
-        Hs = np.einsum("njsi,s->nji", g, weights) / step_used[None, :, None]
-        Hs = np.swapaxes(Hs, 1, 2)             # → (nsims, nθ rows, nθ cols)
-        bad = failed | ~np.isfinite(Hs).all(axis=(1, 2))
-        if bad.any():
-            if not skip_errors:
-                raise RuntimeError(
-                    f"get_H: {int(bad.sum())}/{bad.size} FD sims failed; "
-                    "pass skip_errors=True to drop them.")
-            warnings.warn(f"get_H: dropping {int(bad.sum())} failed sims")
-            Hs = Hs[~bad]
-        result.Hs.extend(list(Hs))
-        if checkpoint_file is not None:
-            result.save(checkpoint_file)
+        if n_dropped:
+            warnings.warn(f"get_H: dropping {n_dropped} failed sims")
 
     _reduce_H(result, comp)
     return result

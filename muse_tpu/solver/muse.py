@@ -172,18 +172,13 @@ def muse_fit(
         validate_fft_lanes(problem.fft_grid, width, n_shards)
     bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
 
-    def _pad(arr, w):
-        pad = w - arr.shape[0]
-        if pad:
-            arr = jnp.concatenate(
-                [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
-        return arr
+    from ..utils.fft_check import pad_lanes_to
 
     keys_chunks, Z_chunks, lane_chunks = [], [], []
     for s0, e0 in bounds:
-        kc = _pad(keys_all[s0:e0], width)
+        kc = pad_lanes_to(keys_all[s0:e0], width)
         zc = jnp.broadcast_to(z0_flat, (width, comp.nz))
-        lc = _pad(jnp.arange(s0, e0), width)
+        lc = pad_lanes_to(jnp.arange(s0, e0), width)
         if mesh is not None:
             kc = mesh.shard_sims(kc)
             zc = mesh.shard_sims(zc, field=True)

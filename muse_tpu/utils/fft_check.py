@@ -24,7 +24,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_fft_ok", "safe_lane_count", "validate_fft_lanes"]
+__all__ = ["fused_fft_ok", "pad_lanes_to", "safe_lane_count",
+           "validate_fft_lanes"]
+
+
+def pad_lanes_to(arr, width: int):
+    """Pad the leading (lane) axis of ``arr`` to ``width`` by repeating
+    the last lane.  THE padding rule everywhere the solvers widen a
+    batch (safe lane counts, mesh divisibility): padded lanes compute
+    real-but-discarded work, so repeating a valid lane keeps every
+    device program numerically well-posed; callers slice outputs back
+    to the true lane count host-side."""
+    arr = jnp.asarray(arr)
+    pad = width - arr.shape[0]
+    if pad > 0:
+        arr = jnp.concatenate(
+            [arr, jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])])
+    return arr
 
 
 def _verdict_cache_path():

@@ -191,9 +191,13 @@ def test_explicit_budgets_respected_at_large_n():
     x0 = np.zeros((512, 512), np.float32)
     p = lensing_problem(n=512, x_obs=x0, gn_cg_maxiter=200, gn_max_outer=70)
     assert p.solver_budgets["gn_cg_maxiter"] == 200
+    assert p.solver_budgets["varpro_inner_cg_maxiter"] == 200
     assert p.solver_budgets["gn_max_outer"] == 70
     p2 = lensing_problem(n=512, x_obs=x0)
-    assert p2.solver_budgets["gn_cg_maxiter"] == 35   # scaled-down default
+    # VarPro's inner elimination-CG scales down at flagship n; the
+    # Newton-CG / polish budget does not — the dict must report both
+    assert p2.solver_budgets["varpro_inner_cg_maxiter"] == 35
+    assert p2.solver_budgets["gn_cg_maxiter"] == 50
     # solver="auto" keeps VarPro on non-TPU backends at flagship size
     # (the XLA value-corruption reroute is TPU-measured only)
     p3 = lensing_problem(n=1024, x_obs=np.zeros((1024, 1024), np.float32))

@@ -433,6 +433,41 @@ def test_get_J_chunk_checkpoint_resume(prob, tmp_path):
     np.testing.assert_allclose(r2.J, r_ref.J)
 
 
+def test_get_H_fd_chunk_checkpoint_resume(prob, tmp_path):
+    """Fixed-step FD get_H commits per chunk like the implicit path: a
+    kill mid-run loses at most one chunk, and the resumed run finishes
+    bit-identically (CRN prefix identity, salt=1 keys)."""
+    from muse_tpu.result import load_result
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    f = str(tmp_path / "hfd.pkl")
+    key = jax.random.PRNGKey(11)
+    r_ref = MuseResult()
+    get_H(r_ref, prob, 0.0, key=key, nsims=6, max_batch=3, step=0.05)
+
+    spec = ThetaSpec.from_example(0.0)
+    comp = CompiledProblem(prob, spec, spec.flatten(0.0))
+    real, calls = comp.h_fd, {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated tunnel kill")
+        return real(*a, **k)
+
+    comp.h_fd = dying
+    r1 = MuseResult()
+    with pytest.raises(RuntimeError, match="tunnel kill"):
+        get_H(r1, prob, 0.0, key=key, nsims=6, max_batch=3, step=0.05,
+              compiled=comp, checkpoint_file=f)
+    r2 = load_result(f)
+    assert 0 < len(r2.Hs) < 6           # first chunk survived the kill
+    get_H(r2, prob, 0.0, key=key, nsims=6, max_batch=3, step=0.05)
+    np.testing.assert_allclose(np.asarray(r2.Hs), np.asarray(r_ref.Hs))
+    np.testing.assert_allclose(r2.H, r_ref.H)
+
+
 def test_get_H_checkpoint_and_incremental_resume(prob, tmp_path):
     """get_H(checkpoint_file=...) persists per-chunk; reloading and
     re-calling with the same nsims is a pure no-op (Hs resume counting,
