@@ -13,7 +13,9 @@ equivalent, designed TPU-first:
   * **Solver choice per problem**: ``solver="cg"`` (default) runs the MAP
     as a batched conjugate-gradient solve (the conditional is Gaussian —
     CG is optimal and needs no L-BFGS history: O(1) memory per lane at
-    1024²); ``"lbfgs"`` exercises the generic path; ``"direct"`` uses the
+    1024²) in packed-spectral coordinates, where the normal-equation
+    operator is diagonal and the CG loop is FFT-free (see ``zhat_cg``);
+    ``"lbfgs"`` exercises the generic path; ``"direct"`` uses the
     Fourier-diagonal closed form û = √C x̂/(σ²+C) (oracle for tests).
   * FFTs via jnp.fft (mesh-aware under GSPMD); elementwise Fourier ops
     fuse into the surrounding kernels (optionally via the Pallas fused
@@ -115,8 +117,9 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                 fft_mode: str = "auto") -> SimpleMuseProblem:
     """Build the GRF MUSE problem (see module docstring).
 
-    With a 2-axis ``mesh`` (sims × field), the CG solve keeps its state
-    field-sharded and stages the 2D transforms:
+    With a 2-axis ``mesh`` (sims × field), the CG solve keeps its
+    (packed-spectral) state field-sharded and stages the entry/exit 2D
+    transforms:
 
       * ``fft_mode="fft"``: reshard→local-FFT→reshard — the field is
         gathered per-sim for the (local) 2D FFT and re-scattered for the
@@ -163,13 +166,14 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         def stage_full(U):     # (B, n, n): grid layout for the transform
             return jax.lax.with_sharding_constraint(U, _full)
 
-        def stage_flat(Zf):    # (B, n²): scatter over the field axis
-            return jax.lax.with_sharding_constraint(Zf, _flat)
+        def stage_packed(Zt):  # (B, 2·n·nr): packed-spectral CG state —
+            # elementwise ops only, so scatter it over the field axis too
+            return jax.lax.with_sharding_constraint(Zt, _flat)
 
         def stage_lane(Zf):    # (B, n²): sims-sharded only (solver output)
             return jax.lax.with_sharding_constraint(Zf, _lane)
     else:
-        stage_full = stage_flat = stage_lane = lambda a: a
+        stage_full = stage_packed = stage_lane = lambda a: a
 
     def sample_x_z(key, theta):
         k1, k2 = jax.random.split(key)
@@ -221,61 +225,73 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         return th_flat if ntheta > 1 else th_flat[0]
 
     def zhat_cg(xs, Z0, th_flat, atol):
+        """Batched PCG in PACKED-SPECTRAL coordinates.
+
+        The normal-equation operator A = I + SᵀS/σ² is exactly diagonal
+        per Fourier mode (SᵀS = C_k), so the CG runs on the isometric
+        packing ũ = pack(√w/n · rfft2(u)) (Parseval with hermitian
+        column weights — the lensing VarPro coordinates): every matvec
+        and preconditioner apply is a pointwise multiply, and the only
+        transforms in the whole solve are rfft2(x), rfft2(Z0) at entry
+        and one irfft2 at exit.  vs the pixel-space CG this removes ALL
+        in-loop FFT passes (4 per iteration) plus the stacked spectral
+        init — the 1024² muse step drops from ~9 FFT-sized kernels to 5.
+
+        CG in exact arithmetic is invariant under an isometric change of
+        basis, and the packed residual norm equals the pixel-space
+        gradient norm by Parseval, so the stopping semantics are
+        unchanged.  Consistency caveat: the diagonal operator preserves
+        the hermitian-consistent subspace only because the spectrum is
+        radial (C_k = C_|k|, reflection-symmetric rows) — true for every
+        GrfConfig spectrum by construction.
+        """
         th = _theta_of(th_flat)
-        X = xs                                     # (B, n, n)
-        B = X.shape[0]
+        B = xs.shape[0]
         C = cfg.spectrum(th)
+        nr = n // 2 + 1
+        sqw_n = jnp.sqrt(cfg.herm_weight) / n   # isometric pack scale
 
-        def matvec(U):
-            Uf = stage_full(U.reshape(B, n, n))
-            CU = cfg.irfft2(C * cfg.rfft2(Uf))
-            return stage_flat((Uf + CU / s2).reshape(B, -1))
+        def _pack(zf):                 # (B, n, nr) complex → (B, 2·n·nr)
+            zs = zf * sqw_n
+            return jnp.concatenate(
+                [zs.real.reshape(B, -1), zs.imag.reshape(B, -1)], -1)
 
-        def precond(R):
-            # exact Fourier-diagonal inverse (I + C/σ²)⁻¹ — PCG converges
-            # in ~1 iteration; kept as a preconditioner (not a direct
-            # solve) so the machinery generalizes to non-diagonal terms
-            Rf = stage_full(R.reshape(B, n, n))
-            MR = cfg.irfft2(cfg.rfft2(Rf) / (1.0 + C / s2))
-            return stage_flat(MR.reshape(B, -1))
+        def _unpack(zt):               # inverse of _pack
+            re, im = jnp.split(zt, 2, axis=-1)
+            return (re + 1j * im).reshape(B, n, nr) / sqw_n
 
-        # Fused spectral initialization: b, r₀ = b − A u₀, z₀ = M⁻¹r₀ and
-        # ‖b‖ are all diagonal in Fourier space (A = I + C/σ², b̂ = √C x̂/σ²,
-        # ‖b‖ by Parseval), so the whole CG initial state costs one rfft2
-        # pair + one 3-lane stacked irfft2 instead of three full
-        # transform round-trips (b, matvec(x0), precond) — 4 of the
-        # muse_step's ~9 FFT passes eliminated.  The dummy third lane
-        # keeps the flattened FFT batch odd (utils/fft_check).
-        Xf = stage_full(X)
-        xhat = cfg.rfft2(Xf)
-        u0hat = cfg.rfft2(stage_full(Z0.reshape(B, n, n)))
         Adiag = 1.0 + C / s2
+        A_packed = jnp.tile(Adiag.reshape(-1), 2)[None]   # (1, 2·n·nr)
+
+        xhat = cfg.rfft2(stage_full(xs))
+        u0hat = cfg.rfft2(stage_full(Z0.reshape(B, n, n)))
         bhat = jnp.sqrt(C) * xhat / s2
-        r0hat = bhat - Adiag * u0hat
-        rz = cfg.irfft2(
-            jnp.stack([r0hat, r0hat / Adiag, jnp.zeros_like(r0hat)], 1))
-        r0 = stage_flat(rz[:, 0].reshape(B, -1))
-        z0 = stage_flat(rz[:, 1].reshape(B, -1))
-        b_norm = jnp.sqrt(jnp.sum(cfg.herm_weight
-                                  * jnp.abs(bhat) ** 2, axis=(-2, -1))) / n
-        # The CG residual r = b − Au equals −∇u(−log_like) exactly, so the
-        # stopping rule must match the solver-wide ∇z tolerance semantics:
-        # an ABSOLUTE gradient norm (reference ∇z_logLike_atol, an L∞
-        # bound).  Convert atol·√N (L∞→L2 envelope) into the per-lane
-        # relative tolerance batched_cg expects.  A relative 1e-2 here
-        # would be off by ‖b‖ ~ 10⁵ at high SNR and silently bias the
-        # score (measured: σθ wrong by 5× at σ_noise=0.01 before this).
+        bt = stage_packed(_pack(bhat))
+        u0t = stage_packed(_pack(u0hat))
+        r0 = bt - A_packed * u0t
+        z0 = r0 / A_packed
+        b_norm = jnp.linalg.norm(bt, axis=-1)   # = Parseval ‖b‖ in pixels
+        # The CG residual r = b − Au equals −∇u(−log_like) exactly (in
+        # packed coordinates, by the isometry), so the stopping rule must
+        # match the solver-wide ∇z tolerance semantics: an ABSOLUTE
+        # gradient norm (reference ∇z_logLike_atol, an L∞ bound).
+        # Convert atol·√N (L∞→L2 envelope) into the per-lane relative
+        # tolerance batched_cg expects.  A relative 1e-2 here would be
+        # off by ‖b‖ ~ 10⁵ at high SNR and silently bias the score
+        # (measured: σθ wrong by 5× at σ_noise=0.01 before this).
         rel_tol = atol * jnp.sqrt(float(Z0.shape[1])) / jnp.maximum(
             b_norm, 1e-30)
-        res = batched_cg(matvec, None,
-                         stage_flat(Z0), tol=rel_tol, maxiter=cg_maxiter,
-                         precond=precond, r0=r0, z0=z0, b_norm=b_norm)
+        res = batched_cg(lambda V: A_packed * V, None,
+                         u0t, tol=rel_tol, maxiter=cg_maxiter,
+                         precond=lambda R: R / A_packed,
+                         r0=r0, z0=z0, b_norm=b_norm)
         aux = {"converged": res.converged,
                "failed": ~jnp.isfinite(res.r_norm),
                "iterations": res.iterations, "g_norm": res.r_norm}
-        # hand the MAP back sims-sharded so downstream per-lane FFTs
-        # (θ-gradients of log_like) stay device-local
-        return stage_lane(res.x), aux
+        # hand the MAP back pixel-space and sims-sharded so downstream
+        # per-lane FFTs (θ-gradients of log_like) stay device-local
+        U = cfg.irfft2(_unpack(res.x))
+        return stage_lane(U.reshape(B, -1)), aux
 
     def zhat_direct(xs, Z0, th_flat, atol):
         th = _theta_of(th_flat)
