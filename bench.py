@@ -35,6 +35,16 @@ def build(n_grid, nsims, seed=0, model="grf"):
     from muse_tpu.utils.keys import as_key, sim_keys
 
     if model == "grf":
+        # the packed-spectral representation (grf_spectral_problem) is
+        # the shipped flagship GRF path: same statistical model and same
+        # batched-PCG MAP machinery, carried in the isometric Fourier
+        # packing so a muse iteration runs 2 FFT-sized kernels instead
+        # of 9 (tests pin end-to-end θ̂ parity with the pixel
+        # representation at ~1e-8) — see BENCHMARKS.md stage table
+        from muse_tpu.models.grf import grf_spectral_problem
+        prob = grf_spectral_problem(n=n_grid, solver="cg",
+                                    data_key=jax.random.PRNGKey(42))
+    elif model == "grf-pixel":
         from muse_tpu.models.grf import grf_problem
         prob = grf_problem(n=n_grid, solver="cg",
                            data_key=jax.random.PRNGKey(42))
@@ -139,7 +149,8 @@ def main():
     ap.add_argument("--grid", type=int, default=1024)
     ap.add_argument("--nsims", type=int, default=100)
     ap.add_argument("--model", default="grf",
-                    choices=["grf", "lensing", "funnel", "ppl"])
+                    choices=["grf", "grf-pixel", "lensing", "funnel",
+                             "ppl"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline-lanes", type=int, default=8,
                     help="distinct sims measured one-at-a-time for the "
@@ -172,7 +183,8 @@ def main():
             batched_s = seq_one
     seq_total = seq_one * (args.nsims + 1)
 
-    suffix = "" if args.model == "grf" else f"_{args.model}"
+    suffix = ("" if args.model == "grf"
+              else f"_{args.model.replace('-', '_')}")
     result = {
         "metric": f"muse_iteration_wall_s_{args.nsims}sims_"
                   f"{args.grid}sq{suffix}",

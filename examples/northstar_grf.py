@@ -24,7 +24,8 @@ import jax
 import numpy as np
 
 from muse_tpu import MuseResult, get_H, get_J, muse_fit
-from muse_tpu.models.grf import grf_marginal_mle, grf_problem
+from muse_tpu.models.grf import (grf_marginal_mle, grf_problem,
+                                 grf_spectral_problem)
 
 
 def main():
@@ -32,6 +33,13 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--nsims", type=int, default=512)
     ap.add_argument("--max-batch", type=int, default=128)
+    ap.add_argument("--representation", default="spectral",
+                    choices=["spectral", "pixel"],
+                    help="spectral (default): x/z in packed-Fourier "
+                         "coordinates — 2 FFT kernels per muse "
+                         "iteration; pixel: the round-2 path (5). "
+                         "θ̂ parity between the two is test-pinned "
+                         "at ~1e-8")
     ap.add_argument("--repeat", action="store_true",
                     help="run the pipeline twice (one CompiledProblem) "
                          "and report the second, all-compiled pass — "
@@ -46,9 +54,12 @@ def main():
                          "families (see examples/lensing_demo.py)")
     args = ap.parse_args()
 
-    prob = grf_problem(n=args.n, sigma_noise=0.01, solver="cg",
-                       data_key=jax.random.PRNGKey(42))
-    mle, fisher_sig = grf_marginal_mle(prob.x, prob.grf_config)
+    build = (grf_spectral_problem if args.representation == "spectral"
+             else grf_problem)
+    prob = build(n=args.n, sigma_noise=0.01, solver="cg",
+                 data_key=jax.random.PRNGKey(42))
+    x_real = getattr(prob, "x_real", prob.x)
+    mle, fisher_sig = grf_marginal_mle(x_real, prob.grf_config)
 
     from muse_tpu.solver.compiled import CompiledProblem
     from muse_tpu.theta import ThetaSpec

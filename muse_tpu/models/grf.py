@@ -39,7 +39,8 @@ import numpy as np
 from ..adapters.simple import SimpleMuseProblem
 from ..ops.cg import batched_cg
 
-__all__ = ["GrfConfig", "grf_problem", "grf_marginal_mle"]
+__all__ = ["GrfConfig", "grf_problem", "grf_spectral_problem",
+           "grf_marginal_mle"]
 
 
 class GrfConfig:
@@ -333,6 +334,178 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         C = cfg.spectrum(_theta_of(th_flat))
         return cfg.irfft2(cfg.rfft2(w.reshape(n, n))
                           / (1.0 + C / s2)).reshape(-1)
+
+    prob.suggested_h_precond = h_precond
+    return prob
+
+
+def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
+                         n: int = 256, sigma_noise: float = 1.0,
+                         gamma: float = 2.0, k0: float = 1.0,
+                         infer_tilt: bool = False, theta_true=None,
+                         data_key=None, x_obs=None, solver: str = "cg",
+                         cg_maxiter: int = 200, prior_std: float = 3.0,
+                         mesh=None) -> SimpleMuseProblem:
+    """The whitened GRF problem with x AND z in packed-spectral coords.
+
+    Same statistical model as :func:`grf_problem` — the observation and
+    the white latent are carried in the isometric packing
+    ``ṽ = pack(√w/n · rfft2(v))`` end-to-end, exploiting that x/z are
+    opaque pytrees to the solver machinery.  Consequences on TPU:
+
+      * ``sample_x_z`` costs two batched rfft2 passes (the two white
+        noise fields; x̂ = √C·û + σ·n̂ is then elementwise — identical in
+        distribution AND in value to rfft2 of the pixel-space sample
+        with the same key, up to one f32 FFT round-trip).
+      * The MAP solve, the analytic θ-score, the implicit-H
+        preconditioner, warm starts, and all solver state are FFT-FREE
+        elementwise/reduction work: Σ_c x̃_c² over packed coordinates
+        equals Σ_k w|x̂_k|²/n² (Parseval), so every density/score reduces
+        to diagonal arithmetic.  A full MUSE iteration runs 2 FFT-sized
+        kernels vs the pixel representation's 5 (vs 9 in round 2).
+      * Under a mesh the packed axis shards freely (elementwise ops
+        partition with zero collectives until the final score psum).
+
+    The packing covers the full rfft2 storage, so packed space has ~2n
+    redundant coordinates (hermitian-pair duplicates in columns 0 and
+    n/2); all operators here are diagonal with reflection-symmetric
+    (radial) spectra, so consistent states stay consistent and the
+    unconstrained per-coordinate optimum coincides with the constrained
+    one — generic jax.grad solvers are safe on this representation.
+
+    ``x_obs`` may be the real-space field (converted host-side via
+    numpy) or an already-packed vector; ``prob.x_real`` always holds the
+    pixel-space data for closed-form oracles (grf_marginal_mle).
+    Reference anchor: same role as grf_problem (BASELINE configs 4-5);
+    no reference analog for the representation (SURVEY §2.2's TPU-first
+    mandate).
+    """
+    cfg = config or GrfConfig(n, sigma_noise, gamma, k0, infer_tilt)
+    n = cfg.n
+    s2 = cfg.sigma_noise ** 2
+    ntheta = 2 if cfg.infer_tilt else 1
+    nr = n // 2 + 1
+    L = 2 * n * nr                       # packed length
+    sqw_n = jnp.sqrt(cfg.herm_weight) / n
+    logk_tiled = jnp.tile(jnp.log(cfg.k + cfg.k0).reshape(-1), 2)
+
+    def _theta_of(th_flat):
+        th_flat = jnp.atleast_1d(jnp.asarray(th_flat))
+        return th_flat if ntheta > 1 else th_flat[0]
+
+    def _C2(theta):
+        """Spectrum per packed coordinate: C_k tiled over (re, im)."""
+        return jnp.tile(cfg.spectrum(theta).reshape(-1), 2)
+
+    def _pack1(zf):                       # (n, nr) complex → (L,)
+        zs = zf * sqw_n
+        return jnp.concatenate([zs.real.reshape(-1), zs.imag.reshape(-1)])
+
+    def pack_field(v):
+        """Host/device helper: real (n, n) field → packed (L,)."""
+        return _pack1(jnp.fft.rfft2(v))
+
+    def unpack_field(vt):
+        """Packed (L,) → real (n, n) field (numpy, host-side safe)."""
+        re, im = np.split(np.asarray(vt, np.float64), 2)
+        zf = (re + 1j * im).reshape(n, nr) / np.asarray(sqw_n, np.float64)
+        return np.fft.irfft2(zf, s=(n, n))
+
+    if mesh is not None and mesh.field_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _packed_sh = NamedSharding(mesh.mesh, P(mesh.sims_axis,
+                                                mesh.field_axis))
+
+        def stage(Zt):
+            return jax.lax.with_sharding_constraint(Zt, _packed_sh)
+    else:
+        stage = lambda a: a
+
+    def sample_x_z(key, theta):
+        k1, k2 = jax.random.split(key)
+        ut = _pack1(jnp.fft.rfft2(jax.random.normal(k1, (n, n))))
+        nt = _pack1(jnp.fft.rfft2(jax.random.normal(k2, (n, n))))
+        xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * nt
+        return xt, ut
+
+    def log_like(xt, ut, theta):
+        r = xt - jnp.sqrt(_C2(theta)) * ut
+        return -0.5 * (jnp.sum(r * r) / s2 + jnp.sum(ut * ut))
+
+    def log_prior(theta):
+        th = jnp.atleast_1d(jnp.asarray(theta))
+        return -jnp.sum(th ** 2) / (2 * prior_std ** 2)
+
+    def grad_theta(xt, ut, theta):
+        """Analytic ∂θ log_like at the exact MAP, all-positive packed
+        form: Σ_c x̃_c²·∂C/(C+σ²)² — the pixel model's Fourier score
+        (grf_problem.grad_theta) with the hermitian weights absorbed
+        into the packing."""
+        C2 = _C2(theta)
+        q = xt * xt / (C2 + s2) ** 2
+        g0 = 0.5 * jnp.sum(q * C2)
+        if not cfg.infer_tilt:
+            return g0 if jnp.ndim(theta) == 0 else jnp.array([g0])
+        g1 = 0.5 * jnp.sum(q * (-logk_tiled) * C2)
+        return jnp.array([g0, g1])
+
+    def zhat_cg(xs, Z0, th_flat, atol):
+        """Batched PCG, diagonal operator — zero FFTs (module docstring)."""
+        C2 = _C2(_theta_of(th_flat))[None]
+        A = 1.0 + C2 / s2
+        xs, Z0 = stage(xs), stage(Z0)
+        b = jnp.sqrt(C2) * xs / s2
+        r0 = b - A * Z0
+        b_norm = jnp.linalg.norm(b, axis=-1)
+        # same stopping semantics as grf_problem.zhat_cg: absolute
+        # gradient sup-norm atol → per-lane relative L2 tolerance
+        rel_tol = atol * jnp.sqrt(float(Z0.shape[1])) / jnp.maximum(
+            b_norm, 1e-30)
+        res = batched_cg(lambda V: A * V, None, Z0, tol=rel_tol,
+                         maxiter=cg_maxiter,
+                         precond=lambda R: R / A,
+                         r0=r0, z0=r0 / A, b_norm=b_norm)
+        return res.x, {"converged": res.converged,
+                       "failed": ~jnp.isfinite(res.r_norm),
+                       "iterations": res.iterations, "g_norm": res.r_norm}
+
+    def zhat_direct(xs, Z0, th_flat, atol):
+        C2 = _C2(_theta_of(th_flat))[None]
+        Z = jnp.sqrt(C2) * xs / (s2 + C2)
+        B = Z.shape[0]
+        return Z, {"converged": jnp.ones(B, bool),
+                   "failed": jnp.zeros(B, bool)}
+
+    custom = {"cg": zhat_cg, "direct": zhat_direct, "lbfgs": None}[solver]
+
+    if theta_true is None:
+        theta_true = jnp.zeros((ntheta,)) if cfg.infer_tilt else 0.0
+    if x_obs is None:
+        data_key = jax.random.PRNGKey(42) if data_key is None else data_key
+        x_obs, _ = jax.jit(sample_x_z)(data_key, theta_true)
+    elif np.ndim(x_obs) == 2:
+        # pixel-space data → packed, host-side (numpy: eager complex
+        # arithmetic is unimplemented on some TPU backends)
+        xf = np.fft.rfft2(np.asarray(x_obs, np.float64))
+        xf = xf * np.asarray(sqw_n, np.float64)
+        x_obs = jnp.asarray(
+            np.concatenate([xf.real.reshape(-1), xf.imag.reshape(-1)]),
+            jnp.float32)
+
+    prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
+                             custom_zhat=custom,
+                             grad_theta_log_like=grad_theta)
+    prob.grf_config = cfg
+    prob.x_real = unpack_field(x_obs)     # for closed-form oracles
+    prob.pack_field = pack_field
+    prob.unpack_field = unpack_field
+    # the only backend-fft ops left are the two sampling rfft2 passes
+    prob.fft_grid = n
+
+    def h_precond(w, x, th_flat):
+        """Exact A⁻¹ for implicit-diff get_H — diagonal in packed
+        coordinates, so (unlike grf_problem's) FFT-free."""
+        return w / (1.0 + _C2(_theta_of(th_flat)) / s2)
 
     prob.suggested_h_precond = h_precond
     return prob

@@ -194,3 +194,109 @@ def test_shared_config_not_mutated_by_fft_mode_resolution():
     x1, _ = jax.jit(p1.sample_x_z)(jax.random.PRNGKey(0), 0.3)
     x2, _ = jax.jit(p2.sample_x_z)(jax.random.PRNGKey(0), 0.3)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
+# ------------------------------------------------------------------ #
+# packed-spectral representation (grf_spectral_problem)
+# ------------------------------------------------------------------ #
+
+def test_spectral_representation_matches_pixel_end_to_end():
+    """grf_spectral_problem carries x and z in packed-Fourier coordinates
+    (an isometry), so the FULL muse pipeline must land on the pixel
+    representation's θ̂ ± σ — same data, same keys, different basis.  The
+    observed agreement is ~1e-8 (the two programs differ only by one f32
+    FFT round-trip in the sampler)."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    pix = grf_problem(n=32, sigma_noise=0.3, data_key=jax.random.PRNGKey(7))
+    spec = grf_spectral_problem(n=32, sigma_noise=0.3,
+                                x_obs=np.asarray(pix.x))
+    np.testing.assert_allclose(spec.x_real, np.asarray(pix.x), atol=1e-5)
+    r_p = muse(pix, 0.5, nsims=30, get_covariance=True, theta_rtol=1e-4,
+               key=jax.random.PRNGKey(1))
+    r_s = muse(spec, 0.5, nsims=30, get_covariance=True, theta_rtol=1e-4,
+               key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.atleast_1d(r_s.theta),
+                               np.atleast_1d(r_p.theta), atol=1e-5)
+    np.testing.assert_allclose(np.atleast_1d(r_s.sigma),
+                               np.atleast_1d(r_p.sigma), rtol=1e-3)
+
+
+def test_spectral_sampling_and_density_equivalence():
+    """The spectral sampler is the pixel sampler seen through the packing
+    (same keys ⇒ same draw up to one FFT round-trip), and log_like is
+    Parseval-exact on converted (x, z) pairs."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    pix = grf_problem(n=32, sigma_noise=0.3)
+    spec = grf_spectral_problem(n=32, sigma_noise=0.3,
+                                x_obs=np.asarray(pix.x))
+    key = jax.random.PRNGKey(3)
+    x_pix, u_pix = jax.jit(pix.sample_x_z)(key, 0.2)
+    x_s, u_s = jax.jit(spec.sample_x_z)(key, 0.2)
+    scale = float(jnp.abs(x_s).max())
+    np.testing.assert_allclose(np.asarray(x_s),
+                               np.asarray(spec.pack_field(x_pix)),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(u_s),
+                               np.asarray(spec.pack_field(u_pix)),
+                               atol=3e-6)
+    ll_p = float(pix.log_like(x_pix, u_pix, 0.2))
+    ll_s = float(spec.log_like(spec.pack_field(x_pix),
+                               spec.pack_field(u_pix), 0.2))
+    assert abs(ll_p - ll_s) / abs(ll_p) < 1e-5
+
+
+def test_spectral_self_consistency_and_analytic_grad():
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    spec = grf_spectral_problem(n=16, sigma_noise=0.5,
+                                data_key=jax.random.PRNGKey(5))
+    assert check_self_consistency(spec, 0.3)
+    # analytic packed score vs AD at the exact MAP (solver="direct" form)
+    x = spec.x
+    C2 = jnp.tile(spec.grf_config.spectrum(0.3).reshape(-1), 2)
+    u_map = jnp.sqrt(C2) * x / (spec.grf_config.sigma_noise ** 2 + C2)
+    g_an = spec.grad_theta_log_like(x, u_map, 0.3)
+    g_ad = jax.grad(lambda t: spec.log_like(x, u_map, t))(0.3)
+    np.testing.assert_allclose(np.atleast_1d(g_an), np.atleast_1d(g_ad),
+                               rtol=2e-4)
+
+
+def test_spectral_muse_step_is_fft_free_after_sampling():
+    """The raison d'être: the compiled muse step in the spectral
+    representation contains exactly TWO fft ops (the two white-noise
+    transforms in the sampler) — solve, score, and state are elementwise
+    (vs 5 fft ops for the pixel representation, 9 in round 2)."""
+    import re
+    from muse_tpu.models.grf import grf_spectral_problem
+    from muse_tpu.solver.compiled import CompiledProblem
+    from muse_tpu.theta import ThetaSpec
+
+    prob = grf_spectral_problem(n=16, sigma_noise=0.1)
+    spec = ThetaSpec.from_example(0.0)
+    comp = CompiledProblem(prob, spec, spec.flatten(0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    th = jnp.asarray(spec.flatten(0.0), jnp.float32)
+    Z = jnp.zeros((3, comp.nz), jnp.float32)
+    hlo = comp.muse_step.lower(th, th, keys, Z, jnp.arange(3),
+                               jnp.float32(1e-3)).compile().as_text()
+    assert len(re.findall(r"fft_type=", hlo)) == 2
+
+
+def test_spectral_h_precond_and_implicit_H_match_pixel():
+    from muse_tpu import MuseResult, get_H
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    pix = grf_problem(n=16, sigma_noise=0.5, data_key=jax.random.PRNGKey(3))
+    spec = grf_spectral_problem(n=16, sigma_noise=0.5,
+                                x_obs=np.asarray(pix.x))
+    key = jax.random.PRNGKey(5)
+    r_p, r_s = MuseResult(), MuseResult()
+    get_H(r_p, pix, 0.2, key=key, nsims=4, implicit_diff=True,
+          implicit_diff_precond=pix.suggested_h_precond)
+    get_H(r_s, spec, 0.2, key=key, nsims=4, implicit_diff=True,
+          implicit_diff_precond=spec.suggested_h_precond)
+    np.testing.assert_allclose(r_s.H, r_p.H, rtol=1e-3)
+    assert np.max(np.asarray(
+        r_s.metadata["implicit_diff_cg_resid"])) < 1e-4

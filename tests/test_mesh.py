@@ -196,3 +196,25 @@ def test_sharded_lensing_varpro_runs_close():
               mesh=make_sims_mesh())
     assert r2.history[-1]["map_converged"].all()
     assert abs(float(r2.theta[0]) - float(r1.theta[0])) < 0.1
+
+
+def test_spectral_grf_sharded_matches_single_device():
+    """The packed-spectral GRF (grf_spectral_problem) under the mesh:
+    (a) sims-dp parity, and (b) 2-axis sims×field parity where the
+    packed solver state is scattered over the field axis — elementwise
+    solve/score partition with zero collectives until the score psum.
+    The sampler's two rfft2 passes stay per-sim local in both."""
+    from muse_tpu.models.grf import grf_spectral_problem
+    key = jax.random.PRNGKey(13)
+    p0 = grf_spectral_problem(n=16, data_key=jax.random.PRNGKey(42))
+    r0 = muse(p0, 0.5, nsims=7, maxsteps=4, key=key)
+    for mesh in (make_sims_mesh(),
+                 make_sims_mesh(sims=4, field=2)):
+        pm = grf_spectral_problem(n=16, data_key=jax.random.PRNGKey(42),
+                                  mesh=mesh)
+        rm = muse(pm, 0.5, nsims=7, maxsteps=4, key=key, mesh=mesh)
+        np.testing.assert_allclose(rm.theta, r0.theta, rtol=1e-4,
+                                   atol=1e-4)
+        get_J(rm, pm, key=key, nsims=7, mesh=mesh)
+    get_J(r0, p0, key=key, nsims=7)
+    np.testing.assert_allclose(rm.J, r0.J, rtol=1e-3)
