@@ -345,7 +345,8 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
                          infer_tilt: bool = False, theta_true=None,
                          data_key=None, x_obs=None, solver: str = "cg",
                          cg_maxiter: int = 200, prior_std: float = 3.0,
-                         mesh=None) -> SimpleMuseProblem:
+                         mesh=None, noise: str = "direct"
+                         ) -> SimpleMuseProblem:
     """The whitened GRF problem with x AND z in packed-spectral coords.
 
     Same statistical model as :func:`grf_problem` — the observation and
@@ -353,16 +354,20 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     ``ṽ = pack(√w/n · rfft2(v))`` end-to-end, exploiting that x/z are
     opaque pytrees to the solver machinery.  Consequences on TPU:
 
-      * ``sample_x_z`` costs two batched rfft2 passes (the two white
-        noise fields; x̂ = √C·û + σ·n̂ is then elementwise — identical in
-        distribution AND in value to rfft2 of the pixel-space sample
-        with the same key, up to one f32 FFT round-trip).
+      * ``noise="direct"`` (default): the hermitian white noise is
+        constructed by indexing (mask + row-flip — see below), so the
+        ENTIRE muse iteration is FFT-free elementwise/reduction work.
+        ``noise="fft"`` draws the noise as rfft2 of pixel normals — 2
+        FFT passes per iteration, but bit-compatible with the pixel
+        representation's CRN stream (same key ⇒ same sim), which the
+        cross-representation parity tests pin.
       * The MAP solve, the analytic θ-score, the implicit-H
         preconditioner, warm starts, and all solver state are FFT-FREE
-        elementwise/reduction work: Σ_c x̃_c² over packed coordinates
-        equals Σ_k w|x̂_k|²/n² (Parseval), so every density/score reduces
-        to diagonal arithmetic.  A full MUSE iteration runs 2 FFT-sized
-        kernels vs the pixel representation's 5 (vs 9 in round 2).
+        elementwise/reduction work in both modes: Σ_c x̃_c² over packed
+        coordinates equals Σ_k w|x̂_k|²/n² (Parseval), so every
+        density/score reduces to diagonal arithmetic.  A full MUSE
+        iteration runs 0 (direct) / 2 (fft) FFT-sized kernels vs the
+        pixel representation's 5 (vs 9 in round 2).
       * Under a mesh the packed axis shards freely (elementwise ops
         partition with zero collectives until the final score psum).
 
@@ -380,6 +385,8 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     no reference analog for the representation (SURVEY §2.2's TPU-first
     mandate).
     """
+    if noise not in ("direct", "fft"):
+        raise ValueError(f"noise must be 'direct'|'fft', got {noise!r}")
     cfg = config or GrfConfig(n, sigma_noise, gamma, k0, infer_tilt)
     n = cfg.n
     s2 = cfg.sigma_noise ** 2
@@ -421,12 +428,57 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     else:
         stage = lambda a: a
 
-    def sample_x_z(key, theta):
-        k1, k2 = jax.random.split(key)
-        ut = _pack1(jnp.fft.rfft2(jax.random.normal(k1, (n, n))))
-        nt = _pack1(jnp.fft.rfft2(jax.random.normal(k2, (n, n))))
-        xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * nt
-        return xt, ut
+    # ---- packed white noise ---------------------------------------- #
+    # noise="direct": draw pack(rfft2(N(0,1)^{n×n}))-distributed noise by
+    # INDEXING — no FFT at all.  Per packed coordinate of a hermitian
+    # white spectrum: generic modes (w=2) are iid N(0,1); in the two
+    # self-mirrored columns (0 and n/2) rows r and n−r are conjugate
+    # duplicates (re copied, im negated, each N(0,1/2)); the four
+    # self-conjugate modes are real N(0,1).  Encoded as a mask-weighted
+    # combination of a normal draw and its row-flip r→(n−r) mod n.
+    _a = np.ones((n, nr), np.float32)        # own-draw coefficient (re)
+    _b = np.zeros((n, nr), np.float32)       # flipped-draw coefficient
+    _c = np.ones((n, nr), np.float32)        # own-draw coefficient (im)
+    _d = np.zeros((n, nr), np.float32)
+    _self_rows = [0] + ([n // 2] if n % 2 == 0 else [])
+    _spec_cols = [0] + ([nr - 1] if n % 2 == 0 else [])
+    for col in _spec_cols:
+        for r in range(n):
+            if r in _self_rows:
+                _a[r, col], _c[r, col] = 1.0, 0.0     # real mode
+            elif (r < n - r) or (n - r in _self_rows):
+                _a[r, col] = _c[r, col] = 1.0 / np.sqrt(2.0)
+            else:                                     # mirror of n−r
+                _a[r, col] = _c[r, col] = 0.0
+                _b[r, col] = 1.0 / np.sqrt(2.0)
+                _d[r, col] = -1.0 / np.sqrt(2.0)
+    _a, _b, _c, _d = (jnp.asarray(v) for v in (_a, _b, _c, _d))
+
+    def _flip_rows(g):                       # r → (n − r) mod n
+        return jnp.roll(g[::-1], 1, axis=0)
+
+    def _herm_white(key):
+        kg, kh = jax.random.split(key)
+        g = jax.random.normal(kg, (n, nr))
+        h = jax.random.normal(kh, (n, nr))
+        re = _a * g + _b * _flip_rows(g)
+        im = _c * h + _d * _flip_rows(h)
+        return jnp.concatenate([re.reshape(-1), im.reshape(-1)])
+
+    if noise == "direct":
+        def sample_x_z(key, theta):
+            k1, k2 = jax.random.split(key)
+            ut = _herm_white(k1)
+            xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * \
+                _herm_white(k2)
+            return xt, ut
+    else:
+        def sample_x_z(key, theta):
+            k1, k2 = jax.random.split(key)
+            ut = _pack1(jnp.fft.rfft2(jax.random.normal(k1, (n, n))))
+            nt = _pack1(jnp.fft.rfft2(jax.random.normal(k2, (n, n))))
+            xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * nt
+            return xt, ut
 
     def log_like(xt, ut, theta):
         r = xt - jnp.sqrt(_C2(theta)) * ut
@@ -499,8 +551,10 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     prob.x_real = unpack_field(x_obs)     # for closed-form oracles
     prob.pack_field = pack_field
     prob.unpack_field = unpack_field
-    # the only backend-fft ops left are the two sampling rfft2 passes
-    prob.fft_grid = n
+    # noise="fft": the only backend-fft ops left are the two sampling
+    # rfft2 passes — keep the fused-FFT integrity check armed for them;
+    # noise="direct": the compiled step has NO fft ops to validate
+    prob.fft_grid = n if noise == "fft" else None
 
     def h_precond(w, x, th_flat):
         """Exact A⁻¹ for implicit-diff get_H — diagonal in packed

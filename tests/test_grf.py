@@ -209,7 +209,7 @@ def test_spectral_representation_matches_pixel_end_to_end():
     from muse_tpu.models.grf import grf_spectral_problem
 
     pix = grf_problem(n=32, sigma_noise=0.3, data_key=jax.random.PRNGKey(7))
-    spec = grf_spectral_problem(n=32, sigma_noise=0.3,
+    spec = grf_spectral_problem(n=32, sigma_noise=0.3, noise="fft",
                                 x_obs=np.asarray(pix.x))
     np.testing.assert_allclose(spec.x_real, np.asarray(pix.x), atol=1e-5)
     r_p = muse(pix, 0.5, nsims=30, get_covariance=True, theta_rtol=1e-4,
@@ -229,7 +229,7 @@ def test_spectral_sampling_and_density_equivalence():
     from muse_tpu.models.grf import grf_spectral_problem
 
     pix = grf_problem(n=32, sigma_noise=0.3)
-    spec = grf_spectral_problem(n=32, sigma_noise=0.3,
+    spec = grf_spectral_problem(n=32, sigma_noise=0.3, noise="fft",
                                 x_obs=np.asarray(pix.x))
     key = jax.random.PRNGKey(3)
     x_pix, u_pix = jax.jit(pix.sample_x_z)(key, 0.2)
@@ -263,17 +263,19 @@ def test_spectral_self_consistency_and_analytic_grad():
                                rtol=2e-4)
 
 
-def test_spectral_muse_step_is_fft_free_after_sampling():
+@pytest.mark.parametrize("noise,nfft", [("direct", 0), ("fft", 2)])
+def test_spectral_muse_step_fft_count(noise, nfft):
     """The raison d'être: the compiled muse step in the spectral
-    representation contains exactly TWO fft ops (the two white-noise
-    transforms in the sampler) — solve, score, and state are elementwise
-    (vs 5 fft ops for the pixel representation, 9 in round 2)."""
+    representation contains exactly 0 fft ops with the indexed hermitian
+    noise (default) and exactly 2 with the FFT-CRN sampler — solve,
+    score, and state are elementwise (vs 5 fft ops for the pixel
+    representation, 9 in round 2)."""
     import re
     from muse_tpu.models.grf import grf_spectral_problem
     from muse_tpu.solver.compiled import CompiledProblem
     from muse_tpu.theta import ThetaSpec
 
-    prob = grf_spectral_problem(n=16, sigma_noise=0.1)
+    prob = grf_spectral_problem(n=16, sigma_noise=0.1, noise=noise)
     spec = ThetaSpec.from_example(0.0)
     comp = CompiledProblem(prob, spec, spec.flatten(0.0))
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -281,7 +283,65 @@ def test_spectral_muse_step_is_fft_free_after_sampling():
     Z = jnp.zeros((3, comp.nz), jnp.float32)
     hlo = comp.muse_step.lower(th, th, keys, Z, jnp.arange(3),
                                jnp.float32(1e-3)).compile().as_text()
-    assert len(re.findall(r"fft_type=", hlo)) == 2
+    assert len(re.findall(r"fft_type=", hlo)) == nfft
+
+
+@pytest.mark.parametrize("n", [16, 17])
+def test_spectral_direct_noise_is_hermitian_consistent(n):
+    """The indexed hermitian noise must land EXACTLY on the consistent
+    subspace: unpack (irfft2, which drops any inconsistent component)
+    followed by re-packing must reproduce the draw bit-near-exactly, for
+    even and odd n (different self-conjugate mode sets)."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    prob = grf_spectral_problem(n=n, sigma_noise=0.5,
+                                data_key=jax.random.PRNGKey(1))
+    xt, ut = jax.jit(prob.sample_x_z)(jax.random.PRNGKey(9), 0.2)
+    for vt in (xt, ut):
+        rt = prob.pack_field(jnp.asarray(prob.unpack_field(vt),
+                                         jnp.float32))
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(vt),
+                                   atol=5e-6 * float(jnp.abs(vt).max()))
+
+
+def test_spectral_direct_noise_is_white():
+    """Unpacked to pixels, the indexed noise must be iid N(0,1): unit
+    variance, zero mean, and no spatial autocorrelation — the same field
+    statistics rfft2-based sampling produces."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    n = 16
+    prob = grf_spectral_problem(n=n, sigma_noise=1.0,
+                                data_key=jax.random.PRNGKey(1))
+    keys = jax.random.split(jax.random.PRNGKey(3), 400)
+    _, uts = jax.vmap(lambda k: prob.sample_x_z(k, 0.0))(keys)
+    U = np.stack([prob.unpack_field(ut) for ut in np.asarray(uts)])
+    assert abs(U.mean()) < 0.01
+    np.testing.assert_allclose(U.var(), 1.0, rtol=0.02)
+    # per-pixel variance uniform (the masks must not over/under-weight
+    # any mode family)
+    np.testing.assert_allclose(U.var(axis=0).mean(axis=0),
+                               np.ones(n), rtol=0.15)
+    # no spatial autocorrelation at lag 1 (both axes)
+    assert abs((U * np.roll(U, 1, axis=1)).mean()) < 0.02
+    assert abs((U * np.roll(U, 1, axis=2)).mean()) < 0.02
+
+
+def test_spectral_direct_noise_end_to_end():
+    """Full pipeline with the FFT-free sampler: θ̂ must agree with the
+    exact marginal MLE of ITS data within Monte-Carlo tolerance, and σ
+    with the Fisher width."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    prob = grf_spectral_problem(n=32, sigma_noise=0.3,
+                                data_key=jax.random.PRNGKey(21))
+    res = muse(prob, 0.5, nsims=60, get_covariance=True, theta_rtol=1e-4,
+               key=jax.random.PRNGKey(1))
+    mle, fsig = grf_marginal_mle(prob.x_real, prob.grf_config)
+    th = float(np.atleast_1d(res.theta)[0])
+    sg = float(np.atleast_1d(res.sigma)[0])
+    assert abs(th - mle) < 3 * fsig / np.sqrt(60)
+    assert 0.8 < sg / fsig < 1.25
 
 
 def test_spectral_h_precond_and_implicit_H_match_pixel():
@@ -289,7 +349,7 @@ def test_spectral_h_precond_and_implicit_H_match_pixel():
     from muse_tpu.models.grf import grf_spectral_problem
 
     pix = grf_problem(n=16, sigma_noise=0.5, data_key=jax.random.PRNGKey(3))
-    spec = grf_spectral_problem(n=16, sigma_noise=0.5,
+    spec = grf_spectral_problem(n=16, sigma_noise=0.5, noise="fft",
                                 x_obs=np.asarray(pix.x))
     key = jax.random.PRNGKey(5)
     r_p, r_s = MuseResult(), MuseResult()
