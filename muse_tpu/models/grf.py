@@ -633,37 +633,56 @@ def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     return prob
 
 
-def grf_marginal_mle(x_obs, cfg: GrfConfig, theta0: float = 0.0,
-                     iters: int = 100) -> Tuple[float, float]:
-    """Exact marginal MLE θ̂ and Fisher σ for the amplitude-only problem.
+def grf_marginal_mle(x_obs, cfg: GrfConfig, theta0=0.0,
+                     iters: int = 200) -> Tuple[float, float]:
+    """Exact marginal MLE θ̂ and Fisher width(s) for the GRF problem.
 
     Marginally x̂_k ~ CN(0, n²(C_k(θ)+σ²)) per rfft mode (hermitian
-    weights w_k), so with C = e^θ·base and p_k = |x̂_k|²/n²:
-      d nll/dθ  = ½ Σ w_k (C/(C+σ²)) (1 − p_k/(C+σ²))
-      I(θ)      = ½ Σ w_k (C/(C+σ²))²           (expected Fisher)
-    Solved by damped Newton in float64 — stable at any resolution (a
-    finite-difference curvature is hopeless at 1024²: nll ~ 10⁶ and the
-    usable information can be O(1)).  Returns (θ̂, 1/√I(θ̂)) — the oracle
-    for MUSE parity tests (MUSE is exact for this problem).
+    weights w_k), so with p_k = |x̂_k|²/n² and d_α = ∂C/∂θ_α:
+      ∂ nll/∂θ_α = ½ Σ w_k (d_α/(C+σ²)) (1 − p_k/(C+σ²))
+      I_αβ       = ½ Σ w_k d_α d_β / (C+σ²)²     (expected Fisher)
+    Solved by damped Fisher-scoring Newton in float64 — stable at any
+    resolution (a finite-difference curvature is hopeless at 1024²:
+    nll ~ 10⁶ and the usable information can be O(1)).
+
+    Amplitude-only configs return ``(θ̂, 1/√I)`` as floats; with
+    ``cfg.infer_tilt`` the θ is the 2-vector (log-amplitude, tilt) with
+    ``∂C/∂θ₁ = −log(k+k₀)·C`` and the return is ``(θ̂ (2,), Σ (2,2))``
+    where Σ = I⁻¹ — the oracle for MUSE's full vector-θ covariance
+    assembly (the two parameters are strongly anti-correlated, so this
+    pins the off-diagonal of Σ⁻¹ = HᵀJ⁻¹H too).  MUSE is exact for this
+    Gaussian problem (arXiv:2112.09354 §2).
     """
     xf = np.fft.rfft2(np.asarray(x_obs, np.float64))
     p = (np.abs(xf) ** 2) / (cfg.n ** 2)
     w = np.asarray(cfg.herm_weight, np.float64)
     kk = np.asarray(cfg.k, np.float64)
     s2 = cfg.sigma_noise ** 2
-    base = (kk + cfg.k0) ** (-cfg.gamma)
+    logk = np.log(kk + cfg.k0)
+    nth = 2 if cfg.infer_tilt else 1
 
-    th = float(theta0)
+    th = np.zeros(nth)
+    th[:] = np.atleast_1d(np.asarray(theta0, np.float64))[:nth]
     for _ in range(iters):
-        C = np.exp(th) * base
-        f = C / (C + s2)
-        dn = 0.5 * np.sum(w * f * (1.0 - p / (C + s2)))
-        I = 0.5 * np.sum(w * f * f)
-        step = -dn / I
-        th += float(np.clip(step, -1.0, 1.0))
-        if abs(step) < 1e-12:
+        gamma = cfg.gamma + (th[1] if cfg.infer_tilt else 0.0)
+        C = np.exp(th[0]) * (kk + cfg.k0) ** (-gamma)
+        D = C + s2
+        # stacked ∂C/∂θ_α over modes: (nth, n, nr)
+        d = np.stack([C, -logk * C][:nth])
+        dn = 0.5 * np.einsum("kl,akl->a", w * (1.0 - p / D), d / D)
+        I = 0.5 * np.einsum("akl,bkl->ab", d, w * d / D ** 2)
+        step = -np.linalg.solve(I, dn)
+        nrm = np.linalg.norm(step)
+        if nrm > 1.0:
+            step *= 1.0 / nrm
+        th += step
+        if nrm < 1e-12:
             break
-    C = np.exp(th) * base
-    f = C / (C + s2)
-    I = 0.5 * np.sum(w * f * f)
-    return float(th), float(1.0 / np.sqrt(I))
+    gamma = cfg.gamma + (th[1] if cfg.infer_tilt else 0.0)
+    C = np.exp(th[0]) * (kk + cfg.k0) ** (-gamma)
+    D = C + s2
+    d = np.stack([C, -logk * C][:nth])
+    I = 0.5 * np.einsum("akl,bkl->ab", d, w * d / D ** 2)
+    if not cfg.infer_tilt:
+        return float(th[0]), float(1.0 / np.sqrt(I[0, 0]))
+    return th, np.linalg.inv(I)

@@ -79,6 +79,55 @@ def test_grf_tilt_vector_theta():
     assert np.isfinite(res.theta).all()
 
 
+def test_grf_tilt_matches_2d_mle_and_fisher():
+    """Vector-θ exactness oracle: on the (log-amplitude, tilt) GRF the
+    marginal likelihood is closed-form, so MUSE's full pipeline must land
+    on the exact 2D MLE within Monte-Carlo tolerance AND its Σ must match
+    the inverse Fisher matrix — including the strong (+0.94) off-diagonal
+    correlation between the two spectrum parameters.  This pins the
+    vector covariance assembly Σ⁻¹ = HᵀJ⁻¹H + H_prior
+    (src/muse.jl:535-549) against a closed form; the funnel vector test
+    only checks shapes/z-scores."""
+    prob = grf_problem(n=32, sigma_noise=0.3, infer_tilt=True,
+                       theta_true=jnp.array([0.2, -0.1]),
+                       data_key=jax.random.PRNGKey(5))
+    th_mle, Sig_f = grf_marginal_mle(np.asarray(prob.x), prob.grf_config,
+                                     theta0=np.zeros(2))
+    sd_f = np.sqrt(np.diag(Sig_f))
+    res = muse(prob, jnp.array([0.5, 0.0]), nsims=60, maxsteps=30,
+               theta_rtol=1e-4, get_covariance=True,
+               key=jax.random.PRNGKey(1))
+    th = np.asarray(res.theta)
+    # θ̂ per component within MC error of the exact MLE
+    np.testing.assert_array_less(np.abs(th - th_mle),
+                                 3 * sd_f / np.sqrt(60) + 0.03)
+    # Σ: diagonal widths within J's MC error band, correlation pinned
+    sd = np.asarray(res.sigma)
+    assert np.all(sd / sd_f > 0.6) and np.all(sd / sd_f < 1.6), (sd, sd_f)
+    corr = float(res.Sigma[0, 1] / (sd[0] * sd[1]))
+    corr_f = float(Sig_f[0, 1] / (sd_f[0] * sd_f[1]))
+    assert abs(corr - corr_f) < 0.15, (corr, corr_f)
+
+
+def test_spectral_tilt_parity_with_pixel():
+    """Vector-θ through the packed-spectral representation: same data,
+    same keys ⇒ same θ̂ trajectory as the pixel representation (isometry),
+    now with the 2-component (amplitude, tilt) score."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    pix = grf_problem(n=32, sigma_noise=0.3, infer_tilt=True,
+                      theta_true=jnp.array([0.2, -0.1]),
+                      data_key=jax.random.PRNGKey(7))
+    spec = grf_spectral_problem(n=32, sigma_noise=0.3, infer_tilt=True,
+                                noise="fft", x_obs=np.asarray(pix.x))
+    r_p = muse(pix, jnp.array([0.5, 0.0]), nsims=20, maxsteps=8,
+               theta_rtol=1e-4, key=jax.random.PRNGKey(1))
+    r_s = muse(spec, jnp.array([0.5, 0.0]), nsims=20, maxsteps=8,
+               theta_rtol=1e-4, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(r_s.theta),
+                               np.asarray(r_p.theta), atol=1e-4)
+
+
 def test_analytic_theta_gradient_matches_ad():
     """The ∇θ_logLike override (src/interface.jl:56-58 analog) must match
     jax.grad of log_like at the MAP (its closed form is exact-MAP)."""
