@@ -81,6 +81,42 @@ def test_lensing_coverage_and_unbiasedness():
     _check_calibration(zs, max_miss=3)
 
 
+def test_grf_vector_theta_mahalanobis_calibration():
+    """16² GRF with θ = (log-amplitude, tilt) — the two components are
+    ~+0.94 correlated, so scalar z-scores alone cannot validate Σ's
+    off-diagonal.  Checks the Mahalanobis statistic
+    m² = (θ̂−θ)ᵀΣ⁻¹(θ̂−θ) ~ χ²₂ across 10 realizations (95% quantile
+    5.99) plus per-component unbiasedness.  No reference analog: the
+    reference never tests vector-θ covariance calibration."""
+    from muse_tpu import MuseResult, get_H, get_J
+    from muse_tpu.solver.muse import muse_fit
+
+    th_true = np.array([0.0, 0.0])
+    m2s, comp_zs = [], []
+    for i in range(10):
+        prob = grf_problem(n=16, sigma_noise=0.3, infer_tilt=True,
+                           theta_true=jax.numpy.asarray(th_true),
+                           data_key=jax.random.PRNGKey(4000 + i))
+        key = jax.random.fold_in(jax.random.PRNGKey(11), i)
+        res = MuseResult()
+        muse_fit(res, prob, jax.numpy.array([0.3, 0.1]), nsims=24,
+                 theta_rtol=3e-2, Hinv_update="broyden", key=key)
+        get_J(res, prob, nsims=24, key=key)
+        get_H(res, prob, nsims=6, implicit_diff=True,
+              implicit_diff_precond=prob.suggested_h_precond, key=key)
+        d = np.asarray(res.theta) - th_true
+        m2s.append(float(d @ np.linalg.solve(np.asarray(res.Sigma), d)))
+        comp_zs.extend(d / np.asarray(res.sigma))
+    m2s = np.asarray(m2s)
+    # χ²₂ coverage: P(>3 misses of the 95% quantile in 10 draws) ≈ 0.2%
+    assert int((m2s > 5.99).sum()) <= 3, m2s.round(2)
+    # E[m²] = 2 for χ²₂ (SE = 2/√10): a Σ wrong by 2× in the correlated
+    # direction shifts this far outside [0.4, 5.0]
+    assert 0.4 < m2s.mean() < 5.0, m2s.round(2)
+    comp_zs = np.asarray(comp_zs)
+    assert abs(comp_zs.mean()) * np.sqrt(len(comp_zs)) < 3.5, comp_zs
+
+
 def test_grf_coverage_and_unbiasedness():
     """32² GRF amplitude, 14 seeded realizations, full pipeline with the
     implicit-diff H + exact Fourier preconditioner."""

@@ -145,6 +145,34 @@ def test_infer_z_amp_two_theta():
     assert res.history[-1]["map_converged"].all()
 
 
+def test_infer_z_amp_full_pipeline_mahalanobis():
+    """Full pipeline on the joint (A_φ, A_z) nonlinear model: J and H are
+    2×2, Σ assembled from them must cover the truth — Mahalanobis
+    m² = (θ̂−θ)ᵀΣ⁻¹(θ̂−θ) under the χ²₂ 99% bound (9.21), and both H
+    diagonal entries must carry real information (non-degenerate vector
+    score).  Reference runs only scalar θ in its tests."""
+    from muse_tpu import MuseResult, get_H, get_J
+    from muse_tpu.solver.muse import muse_fit
+
+    p2 = lensing_problem(n=16, infer_z_amp=True,
+                         data_key=jax.random.PRNGKey(12))
+    key = jax.random.PRNGKey(4)
+    res = MuseResult()
+    muse_fit(res, p2, np.zeros(2), nsims=16, theta_rtol=3e-2,
+             Hinv_update="broyden", key=key)
+    get_J(res, p2, nsims=16, key=key)
+    get_H(res, p2, nsims=6, implicit_diff=True,
+          implicit_diff_precond=p2.suggested_h_precond, key=key)
+    assert res.Sigma.shape == (2, 2)
+    d = np.asarray(res.theta)          # θ_true = 0
+    m2 = float(d @ np.linalg.solve(np.asarray(res.Sigma), d))
+    assert m2 < 9.21, (d, np.asarray(res.Sigma), m2)
+    H = np.asarray(res.H)
+    assert H[0, 0] != 0.0 and H[1, 1] != 0.0
+    sd = np.asarray(res.sigma)
+    assert np.all(np.isfinite(sd)) and np.all(sd > 0)
+
+
 def test_suggested_z0_warm_start(prob):
     z0 = prob.suggested_z0
     assert set(z0) == {"uphi", "uz"}
