@@ -218,3 +218,23 @@ def test_spectral_grf_sharded_matches_single_device():
         get_J(rm, pm, key=key, nsims=7, mesh=mesh)
     get_J(r0, p0, key=key, nsims=7)
     np.testing.assert_allclose(rm.J, r0.J, rtol=1e-3)
+
+
+def test_vector_theta_sharded_matches_single_device():
+    """Vector θ = (amplitude, tilt) under GSPMD: the per-lane score is a
+    2-vector, so the cross-device score/J reductions carry a θ axis —
+    parity with the single-device run pins that no component mixing or
+    transposition happens in the sharded reduction path."""
+    from muse_tpu.models.grf import grf_problem as _gp
+    key = jax.random.PRNGKey(17)
+    p = _gp(n=16, sigma_noise=0.3, infer_tilt=True,
+            data_key=jax.random.PRNGKey(42))
+    r0 = muse(p, jnp.array([0.3, 0.1]), nsims=7, maxsteps=3, key=key)
+    rm = muse(p, jnp.array([0.3, 0.1]), nsims=7, maxsteps=3, key=key,
+              mesh=make_sims_mesh())
+    np.testing.assert_allclose(rm.theta, r0.theta, rtol=1e-4, atol=1e-4)
+    rj0, rjm = MuseResult(), MuseResult()
+    get_J(rj0, p, jnp.zeros(2), key=key, nsims=8)
+    get_J(rjm, p, jnp.zeros(2), key=key, nsims=8, mesh=make_sims_mesh())
+    np.testing.assert_allclose(rjm.J, rj0.J, rtol=1e-3)
+    assert np.asarray(rjm.J).shape == (2, 2)
