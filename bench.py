@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(n_grid, nsims, seed=0, model="grf"):
+def build(n_grid, nsims, seed=0, model="grf", noise=None):
     from muse_tpu.solver.compiled import CompiledProblem
     from muse_tpu.theta import ThetaSpec
     from muse_tpu.utils.keys import as_key, sim_keys
@@ -42,8 +42,9 @@ def build(n_grid, nsims, seed=0, model="grf"):
         # of 9 (tests pin end-to-end θ̂ parity with the pixel
         # representation at ~1e-8) — see BENCHMARKS.md stage table
         from muse_tpu.models.grf import grf_spectral_problem
+        kw = {} if noise is None else {"noise": noise}
         prob = grf_spectral_problem(n=n_grid, solver="cg",
-                                    data_key=jax.random.PRNGKey(42))
+                                    data_key=jax.random.PRNGKey(42), **kw)
     elif model == "grf-pixel":
         from muse_tpu.models.grf import grf_problem
         prob = grf_problem(n=n_grid, solver="cg",

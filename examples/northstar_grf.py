@@ -36,8 +36,10 @@ def main():
     ap.add_argument("--representation", default="spectral",
                     choices=["spectral", "pixel"],
                     help="spectral (default): x/z in packed-Fourier "
-                         "coordinates — 2 FFT kernels per muse "
-                         "iteration; pixel: the round-2 path (5). "
+                         "coordinates — ZERO FFT kernels per muse "
+                         "iteration with the default noise='direct' "
+                         "indexed sampler (2 with noise='fft'); "
+                         "pixel: the round-2 path (5 FFTs). "
                          "θ̂ parity between the two is test-pinned "
                          "at ~1e-8")
     ap.add_argument("--repeat", action="store_true",

@@ -391,8 +391,7 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     n = cfg.n
     s2 = cfg.sigma_noise ** 2
     ntheta = 2 if cfg.infer_tilt else 1
-    nr = n // 2 + 1
-    L = 2 * n * nr                       # packed length
+    nr = n // 2 + 1                      # packed length L = 2·n·nr
     sqw_n = jnp.sqrt(cfg.herm_weight) / n
     logk_tiled = jnp.tile(jnp.log(cfg.k + cfg.k0).reshape(-1), 2)
 
@@ -446,7 +445,7 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
         for r in range(n):
             if r in _self_rows:
                 _a[r, col], _c[r, col] = 1.0, 0.0     # real mode
-            elif (r < n - r) or (n - r in _self_rows):
+            elif r < n - r:
                 _a[r, col] = _c[r, col] = 1.0 / np.sqrt(2.0)
             else:                                     # mirror of n−r
                 _a[r, col] = _c[r, col] = 0.0
@@ -649,9 +648,15 @@ def grf_marginal_mle(x_obs, cfg: GrfConfig, theta0=0.0,
     ``cfg.infer_tilt`` the θ is the 2-vector (log-amplitude, tilt) with
     ``∂C/∂θ₁ = −log(k+k₀)·C`` and the return is ``(θ̂ (2,), Σ (2,2))``
     where Σ = I⁻¹ — the oracle for MUSE's full vector-θ covariance
-    assembly (the two parameters are strongly anti-correlated, so this
-    pins the off-diagonal of Σ⁻¹ = HᵀJ⁻¹H too).  MUSE is exact for this
-    Gaussian problem (arXiv:2112.09354 §2).
+    assembly (the Fisher cross-term I₀₁ is negative, so the two
+    *estimates* are strongly positively correlated — ρ ≈ +0.94 at n=32
+    — and this pins the off-diagonal of Σ⁻¹ = HᵀJ⁻¹H too).  MUSE is
+    exact for this Gaussian problem (arXiv:2112.09354 §2).
+
+    Raises ``RuntimeError`` if Fisher scoring has not converged after
+    ``iters`` damped steps — e.g. weak-signal data whose marginal MLE
+    runs to the θ→−∞ boundary (amplitude indistinguishable from 0), in
+    which case θ̂ and the Fisher width are meaningless.
     """
     xf = np.fft.rfft2(np.asarray(x_obs, np.float64))
     p = (np.abs(xf) ** 2) / (cfg.n ** 2)
@@ -678,6 +683,12 @@ def grf_marginal_mle(x_obs, cfg: GrfConfig, theta0=0.0,
         th += step
         if nrm < 1e-12:
             break
+    else:
+        raise RuntimeError(
+            f"grf_marginal_mle: Fisher scoring did not converge in "
+            f"{iters} iterations (last |step| = {nrm:.3g}, θ = {th}); "
+            "the marginal MLE may be at the θ→−∞ boundary (data "
+            "consistent with zero signal amplitude).")
     gamma = cfg.gamma + (th[1] if cfg.infer_tilt else 0.0)
     C = np.exp(th[0]) * (kk + cfg.k0) ** (-gamma)
     D = C + s2

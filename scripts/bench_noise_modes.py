@@ -9,48 +9,28 @@ passes are the platform floor).  Prints one JSON line with both
 timings; flip the default in muse_tpu/models/grf.py if direct loses on
 TPU too.
 
+Reuses bench.py's build()/time_step() harness (same CRN key layout and
+timing protocol as the headline bench) rather than re-implementing it.
+
 Usage: python scripts/bench_noise_modes.py [--grid 1024] [--nsims 100]
 """
 
 import argparse
 import json
 import os
-import time
+import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
+import bench  # noqa: E402  (repo-root bench.py; sets the compile cache)
+import jax  # noqa: E402
 
 
 def time_mode(noise, n_grid, nsims, reps=5):
-    from muse_tpu.models.grf import grf_spectral_problem
-    from muse_tpu.solver.compiled import CompiledProblem
-    from muse_tpu.theta import ThetaSpec
-    from muse_tpu.utils.keys import as_key, sim_keys
-
-    prob = grf_spectral_problem(n=n_grid, solver="cg", noise=noise,
-                                data_key=jax.random.PRNGKey(42))
-    spec = ThetaSpec.from_example(0.0)
-    comp = CompiledProblem(prob, spec, spec.flatten(0.0))
-    key = as_key(0)
-    keys_all = jnp.concatenate(
-        [jax.random.fold_in(key, 2 ** 31 - 1)[None], sim_keys(key, nsims)])
-    Z = jnp.zeros((nsims + 1, comp.nz), jnp.float32)
-    lane_ids = jnp.arange(nsims + 1)
-    th = jnp.asarray(spec.flatten(0.0), jnp.float32)
-    atol = jnp.asarray(1e-2, jnp.float32)
-
-    out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)  # compile
-    jax.block_until_ready(out)
-    walls = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)
-        jax.block_until_ready(out)
-        walls.append(time.perf_counter() - t0)
-    walls.sort()
-    return walls[len(walls) // 2]
+    comp, th, keys_all, Z, lane_ids, atol = bench.build(
+        n_grid, nsims, model="grf", noise=noise)
+    return bench.time_step(comp, th, keys_all, Z, lane_ids, atol,
+                           reps=reps)
 
 
 def main():
