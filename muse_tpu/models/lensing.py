@@ -173,7 +173,13 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     # them at the next (better-damped) θ.
     if gn_max_outer is None:
         gn_max_outer = 100 if n < 128 else (40 if n < 512 else 25)
-    polish_max_outer = 80 if n < 128 else (30 if n < 512 else 20)
+    # the small-n polish budget covers a worst-case VarPro handoff: a
+    # stalled reduced-space lane can need a full trust-region grind plus
+    # one tr_refresh period plus the ~20-iteration escape (measured on
+    # the 32² knife-edge lane) — at small n the per-program device-time
+    # bound doesn't bind, so the budget is generous; at n ≥ 128 it
+    # shrinks with the same tiers as gn_max_outer (tunnel kill limit)
+    polish_max_outer = 130 if n < 128 else (30 if n < 512 else 20)
     # the Armijo loop re-solves the inner problem per trial, so it
     # dominates the worst-case program length; at flagship sizes the
     # per-program ceiling is a platform constraint (the tunnel kills
