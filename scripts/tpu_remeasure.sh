@@ -15,6 +15,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+# examples/ scripts put their own dir (not cwd) on sys.path — make the
+# package importable regardless of which script runs
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 OUT=${1:-.tpu_remeasure}
 mkdir -p "$OUT"
 
