@@ -40,7 +40,71 @@ from ..adapters.simple import SimpleMuseProblem
 from ..ops.cg import batched_cg
 
 __all__ = ["GrfConfig", "grf_problem", "grf_spectral_problem",
-           "grf_marginal_mle"]
+           "grf_marginal_mle", "hermitian_white_packed"]
+
+
+_HERM_COEFF_CACHE = {}
+
+
+def _herm_white_coeffs(n: int):
+    """Mask coefficients for drawing pack(rfft2(N(0,1)^{n×n})) by indexing.
+
+    Per packed coordinate of a hermitian white spectrum: generic modes
+    (herm weight 2) are iid N(0,1); in the two self-mirrored columns
+    (0 and n/2) rows r and n−r are conjugate duplicates (re copied, im
+    negated, each N(0,1/2)); the four self-conjugate modes are real
+    N(0,1).  Encoded as a mask-weighted combination of a normal draw and
+    its row-flip r→(n−r) mod n — no FFT at all.  Cached per n (trace-time
+    constants).
+    """
+    if n in _HERM_COEFF_CACHE:
+        return _HERM_COEFF_CACHE[n]
+    nr = n // 2 + 1
+    a = np.ones((n, nr), np.float32)         # own-draw coefficient (re)
+    b = np.zeros((n, nr), np.float32)        # flipped-draw coefficient
+    c = np.ones((n, nr), np.float32)         # own-draw coefficient (im)
+    d = np.zeros((n, nr), np.float32)
+    self_rows = [0] + ([n // 2] if n % 2 == 0 else [])
+    spec_cols = [0] + ([nr - 1] if n % 2 == 0 else [])
+    for col in spec_cols:
+        for r in range(n):
+            if r in self_rows:
+                a[r, col], c[r, col] = 1.0, 0.0      # real mode
+            elif r < n - r:
+                a[r, col] = c[r, col] = 1.0 / np.sqrt(2.0)
+            else:                                    # mirror of n−r
+                a[r, col] = c[r, col] = 0.0
+                b[r, col] = 1.0 / np.sqrt(2.0)
+                d[r, col] = -1.0 / np.sqrt(2.0)
+    # cache NUMPY arrays: jnp constants created inside one jit trace must
+    # not leak into another (UnexpectedTracerError); jnp.asarray at use
+    # site re-binds them as per-trace constants for free
+    out = (a, b, c, d)
+    _HERM_COEFF_CACHE[n] = out
+    return out
+
+
+def hermitian_white_packed(key, n: int) -> jnp.ndarray:
+    """Draw pack(rfft2(white n×n field))-distributed noise FFT-free.
+
+    Distributionally identical to ``pack(rfft2(N(0,1)^{n×n}))`` (the
+    isometric packing of a white field's spectrum) but constructed by
+    indexing — the sampler behind ``grf_spectral_problem(noise="direct")``
+    and the bandpower family.  Uses 2 key splits and two (n, n//2+1)
+    normal draws.
+    """
+    nr = n // 2 + 1
+    a, b, c, d = (jnp.asarray(v) for v in _herm_white_coeffs(n))
+    kg, kh = jax.random.split(key)
+    g = jax.random.normal(kg, (n, nr))
+    h = jax.random.normal(kh, (n, nr))
+
+    def flip(v):                              # r → (n − r) mod n
+        return jnp.roll(v[::-1], 1, axis=0)
+
+    re = a * g + b * flip(g)
+    im = c * h + d * flip(h)
+    return jnp.concatenate([re.reshape(-1), im.reshape(-1)])
 
 
 class GrfConfig:
@@ -428,41 +492,10 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
         stage = lambda a: a
 
     # ---- packed white noise ---------------------------------------- #
-    # noise="direct": draw pack(rfft2(N(0,1)^{n×n}))-distributed noise by
-    # INDEXING — no FFT at all.  Per packed coordinate of a hermitian
-    # white spectrum: generic modes (w=2) are iid N(0,1); in the two
-    # self-mirrored columns (0 and n/2) rows r and n−r are conjugate
-    # duplicates (re copied, im negated, each N(0,1/2)); the four
-    # self-conjugate modes are real N(0,1).  Encoded as a mask-weighted
-    # combination of a normal draw and its row-flip r→(n−r) mod n.
-    _a = np.ones((n, nr), np.float32)        # own-draw coefficient (re)
-    _b = np.zeros((n, nr), np.float32)       # flipped-draw coefficient
-    _c = np.ones((n, nr), np.float32)        # own-draw coefficient (im)
-    _d = np.zeros((n, nr), np.float32)
-    _self_rows = [0] + ([n // 2] if n % 2 == 0 else [])
-    _spec_cols = [0] + ([nr - 1] if n % 2 == 0 else [])
-    for col in _spec_cols:
-        for r in range(n):
-            if r in _self_rows:
-                _a[r, col], _c[r, col] = 1.0, 0.0     # real mode
-            elif r < n - r:
-                _a[r, col] = _c[r, col] = 1.0 / np.sqrt(2.0)
-            else:                                     # mirror of n−r
-                _a[r, col] = _c[r, col] = 0.0
-                _b[r, col] = 1.0 / np.sqrt(2.0)
-                _d[r, col] = -1.0 / np.sqrt(2.0)
-    _a, _b, _c, _d = (jnp.asarray(v) for v in (_a, _b, _c, _d))
-
-    def _flip_rows(g):                       # r → (n − r) mod n
-        return jnp.roll(g[::-1], 1, axis=0)
-
+    # noise="direct": pack(rfft2(white))-distributed draws by indexing —
+    # no FFT at all (see hermitian_white_packed)
     def _herm_white(key):
-        kg, kh = jax.random.split(key)
-        g = jax.random.normal(kg, (n, nr))
-        h = jax.random.normal(kh, (n, nr))
-        re = _a * g + _b * _flip_rows(g)
-        im = _c * h + _d * _flip_rows(h)
-        return jnp.concatenate([re.reshape(-1), im.reshape(-1)])
+        return hermitian_white_packed(key, n)
 
     if noise == "direct":
         def sample_x_z(key, theta):
