@@ -89,7 +89,7 @@ def hermitian_white_packed(key, n: int) -> jnp.ndarray:
 
     Distributionally identical to ``pack(rfft2(N(0,1)^{n×n}))`` (the
     isometric packing of a white field's spectrum) but constructed by
-    indexing — the sampler behind ``grf_spectral_problem(noise="direct")``
+    indexing — the sampler behind ``grf_spectral_problem``'s marginal/direct modes
     and the bandpower family.  Uses 2 key splits and two (n, n//2+1)
     normal draws.
     """
@@ -409,7 +409,7 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
                          infer_tilt: bool = False, theta_true=None,
                          data_key=None, x_obs=None, solver: str = "cg",
                          cg_maxiter: int = 200, prior_std: float = 3.0,
-                         mesh=None, noise: str = "direct"
+                         mesh=None, noise: str = "marginal"
                          ) -> SimpleMuseProblem:
     """The whitened GRF problem with x AND z in packed-spectral coords.
 
@@ -418,19 +418,25 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     ``ṽ = pack(√w/n · rfft2(v))`` end-to-end, exploiting that x/z are
     opaque pytrees to the solver machinery.  Consequences on TPU:
 
-      * ``noise="direct"`` (default): the hermitian white noise is
-        constructed by indexing (mask + row-flip — see below), so the
-        ENTIRE muse iteration is FFT-free elementwise/reduction work.
-        ``noise="fft"`` draws the noise as rfft2 of pixel normals — 2
-        FFT passes per iteration, but bit-compatible with the pixel
-        representation's CRN stream (same key ⇒ same sim), which the
-        cross-representation parity tests pin.
+      * ``noise="marginal"`` (default): hermitian white draws by
+        indexing (mask + row-flip, ``hermitian_white_packed``) in the
+        marginal-x/conditional-u factorization of the joint law — the
+        ENTIRE muse iteration is FFT-free, and programs that consume
+        only x (the muse iteration: every MUSE estimator is a
+        functional of x alone) dead-code-eliminate the conditional
+        u-draw, halving the RNG work that dominates the 1024² step.
+        ``noise="direct"`` is the same indexed sampler in the
+        conventional x = √C·u + σ·e factorization (both draws always
+        live).  ``noise="fft"`` draws the noise as rfft2 of pixel
+        normals — 2 FFT passes per iteration, but bit-compatible with
+        the pixel representation's CRN stream (same key ⇒ same sim),
+        which the cross-representation parity tests pin.
       * The MAP solve, the analytic θ-score, the implicit-H
         preconditioner, warm starts, and all solver state are FFT-FREE
         elementwise/reduction work in both modes: Σ_c x̃_c² over packed
         coordinates equals Σ_k w|x̂_k|²/n² (Parseval), so every
         density/score reduces to diagonal arithmetic.  A full MUSE
-        iteration runs 0 (direct) / 2 (fft) FFT-sized kernels vs the
+        iteration runs 0 (marginal/direct) / 2 (fft) FFT-sized kernels vs the
         pixel representation's 5 (vs 9 in round 2).
       * Under a mesh the packed axis shards freely (elementwise ops
         partition with zero collectives until the final score psum).
@@ -449,8 +455,9 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     no reference analog for the representation (SURVEY §2.2's TPU-first
     mandate).
     """
-    if noise not in ("direct", "fft"):
-        raise ValueError(f"noise must be 'direct'|'fft', got {noise!r}")
+    if noise not in ("marginal", "direct", "fft"):
+        raise ValueError(
+            f"noise must be 'marginal'|'direct'|'fft', got {noise!r}")
     cfg = config or GrfConfig(n, sigma_noise, gamma, k0, infer_tilt)
     n = cfg.n
     s2 = cfg.sigma_noise ** 2
@@ -497,7 +504,26 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
     def _herm_white(key):
         return hermitian_white_packed(key, n)
 
-    if noise == "direct":
+    if noise == "marginal":
+        # Marginal-x / conditional-u factorization of the SAME joint law:
+        #   x̃ ~ N(0, C+σ²)                    (one herm draw)
+        #   ũ|x̃ ~ N(√C x̃/(C+σ²), σ²/(C+σ²))   (a second herm draw)
+        # — jointly Gaussian with Var(x̃)=C+σ², Var(ũ)=1, Cov=√C: exactly
+        # the (x, u) distribution of the other modes.  Payoff: every MUSE
+        # estimator is a functional of x alone (the truth z only seeds
+        # warm starts, src/muse.jl:511-512), so in programs that drop ũ —
+        # the muse iteration itself — XLA dead-code-eliminates the second
+        # draw and the sampling cost HALVES (measured 52.7 → 26 ms of the
+        # 59 ms 1024²×100 step; RNG is the dominant kernel there).
+        def sample_x_z(key, theta):
+            k1, k2 = jax.random.split(key)
+            C2 = _C2(theta)
+            D = C2 + s2
+            xt = jnp.sqrt(D) * _herm_white(k1)
+            ut = (jnp.sqrt(C2) / D) * xt + jnp.sqrt(s2 / D) * \
+                _herm_white(k2)
+            return xt, ut
+    elif noise == "direct":
         def sample_x_z(key, theta):
             k1, k2 = jax.random.split(key)
             ut = _herm_white(k1)

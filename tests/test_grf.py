@@ -312,7 +312,8 @@ def test_spectral_self_consistency_and_analytic_grad():
                                rtol=2e-4)
 
 
-@pytest.mark.parametrize("noise,nfft", [("direct", 0), ("fft", 2)])
+@pytest.mark.parametrize("noise,nfft", [("marginal", 0), ("direct", 0),
+                                        ("fft", 2)])
 def test_spectral_muse_step_fft_count(noise, nfft):
     """The raison d'être: the compiled muse step in the spectral
     representation contains exactly 0 fft ops with the indexed hermitian
@@ -343,7 +344,7 @@ def test_spectral_direct_noise_is_hermitian_consistent(n):
     even and odd n (different self-conjugate mode sets)."""
     from muse_tpu.models.grf import grf_spectral_problem
 
-    prob = grf_spectral_problem(n=n, sigma_noise=0.5,
+    prob = grf_spectral_problem(n=n, sigma_noise=0.5, noise="direct",
                                 data_key=jax.random.PRNGKey(1))
     xt, ut = jax.jit(prob.sample_x_z)(jax.random.PRNGKey(9), 0.2)
     for vt in (xt, ut):
@@ -360,7 +361,7 @@ def test_spectral_direct_noise_is_white():
     from muse_tpu.models.grf import grf_spectral_problem
 
     n = 16
-    prob = grf_spectral_problem(n=n, sigma_noise=1.0,
+    prob = grf_spectral_problem(n=n, sigma_noise=1.0, noise="direct",
                                 data_key=jax.random.PRNGKey(1))
     keys = jax.random.split(jax.random.PRNGKey(3), 400)
     _, uts = jax.vmap(lambda k: prob.sample_x_z(k, 0.0))(keys)
@@ -382,7 +383,7 @@ def test_spectral_direct_noise_end_to_end():
     with the Fisher width."""
     from muse_tpu.models.grf import grf_spectral_problem
 
-    prob = grf_spectral_problem(n=32, sigma_noise=0.3,
+    prob = grf_spectral_problem(n=32, sigma_noise=0.3, noise="direct",
                                 data_key=jax.random.PRNGKey(21))
     res = muse(prob, 0.5, nsims=60, get_covariance=True, theta_rtol=1e-4,
                key=jax.random.PRNGKey(1))
@@ -409,3 +410,58 @@ def test_spectral_h_precond_and_implicit_H_match_pixel():
     np.testing.assert_allclose(r_s.H, r_p.H, rtol=1e-3)
     assert np.max(np.asarray(
         r_s.metadata["implicit_diff_cg_resid"])) < 1e-4
+
+
+# ------------------------------------------------------------------ #
+# marginal-x / conditional-u sampling (noise="marginal", the default)
+# ------------------------------------------------------------------ #
+
+def test_spectral_marginal_noise_joint_moments():
+    """noise="marginal" must realize the SAME joint (x, u) law as the
+    conventional factorization: per packed coordinate Var(x̃) = C+σ²,
+    Var(ũ) = 1, Cov(x̃, ũ) = √C — checked against 4000 draws."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    n, s = 16, 0.5
+    prob = grf_spectral_problem(n=n, sigma_noise=s,
+                                data_key=jax.random.PRNGKey(1))
+    C2 = jnp.tile(prob.grf_config.spectrum(0.0).reshape(-1), 2)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4000)
+    xs, us = jax.vmap(lambda k: prob.sample_x_z(k, 0.0))(keys)
+    xs, us, C2 = np.asarray(xs), np.asarray(us), np.asarray(C2)
+    # per-coordinate variance factor of the packed white draw: 1 for
+    # generic modes, 1/2 for each member of a hermitian-duplicate pair
+    # (the self-mirrored columns), 0 for self-conjugate imaginary parts
+    from muse_tpu.models.grf import _herm_white_coeffs
+    a, b, c, d = (np.asarray(v, np.float64)
+                  for v in _herm_white_coeffs(n))
+    v = np.concatenate([(a ** 2 + b ** 2).ravel(),
+                        (c ** 2 + d ** 2).ravel()])
+    # aggregate over coordinates (per-coordinate MC error ~1.6%)
+    np.testing.assert_allclose(xs.var(0).sum(),
+                               (v * (C2 + s ** 2)).sum(), rtol=0.05)
+    np.testing.assert_allclose(us.var(0).sum(), v.sum(), rtol=0.05)
+    np.testing.assert_allclose((xs * us).mean(0).sum(),
+                               (v * np.sqrt(C2)).sum(), rtol=0.05)
+    # u is still exactly hermitian-consistent and white in pixel space
+    U = np.stack([prob.unpack_field(u) for u in us[:300]])
+    np.testing.assert_allclose(U.var(), 1.0, rtol=0.03)
+    assert abs((U * np.roll(U, 1, axis=1)).mean()) < 0.02
+
+
+def test_spectral_marginal_end_to_end():
+    """Full pipeline with the marginal sampler: θ̂ within MC error of the
+    exact marginal MLE of ITS data, σ within Fisher tolerance — the
+    estimator is a functional of x alone, so the factorization change
+    must be invisible."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    prob = grf_spectral_problem(n=32, sigma_noise=0.3,
+                                data_key=jax.random.PRNGKey(21))
+    res = muse(prob, 0.5, nsims=60, get_covariance=True, theta_rtol=1e-4,
+               key=jax.random.PRNGKey(1))
+    mle, fsig = grf_marginal_mle(prob.x_real, prob.grf_config)
+    th = float(np.atleast_1d(res.theta)[0])
+    sg = float(np.atleast_1d(res.sigma)[0])
+    assert abs(th - mle) < 3 * fsig / np.sqrt(60)
+    assert 0.8 < sg / fsig < 1.25
