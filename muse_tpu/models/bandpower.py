@@ -44,7 +44,20 @@ from .grf import GrfConfig, hermitian_white_packed
 __all__ = ["band_edges", "bandpower_problem", "bandpower_mle"]
 
 
-def band_edges(n: int, nbands: int, k0: float = 1.0) -> np.ndarray:
+def _k_grid64(n: int) -> np.ndarray:
+    """The rfft grid's |k| in float64 — THE band-assignment coordinate.
+
+    Band membership must be decided on the same float64 values that
+    ``band_edges`` quantized, everywhere: a float32 round-trip (e.g. via
+    ``GrfConfig.k``) can push a mode sitting exactly on an edge into the
+    band below, emptying a band that ``band_edges`` guaranteed non-empty
+    (and making the decoupled Fisher matrix singular)."""
+    ky = np.fft.fftfreq(n) * n
+    kx = np.fft.rfftfreq(n) * n
+    return np.hypot(ky[:, None], kx[None, :])
+
+
+def band_edges(n: int, nbands: int) -> np.ndarray:
     """|k|-annulus edges with ~equal hermitian-weighted mode counts.
 
     Quantile edges over the rfft grid's |k| distribution (counting each
@@ -52,9 +65,7 @@ def band_edges(n: int, nbands: int, k0: float = 1.0) -> np.ndarray:
     band is non-empty.  Raises if the grid can't support ``nbands``
     distinct annuli.
     """
-    ky = np.fft.fftfreq(n) * n
-    kx = np.fft.rfftfreq(n) * n
-    k = np.hypot(ky[:, None], kx[None, :]).ravel()
+    k = _k_grid64(n).ravel()
     w = np.full((n, n // 2 + 1), 2.0)
     w[:, 0] = 1.0
     if n % 2 == 0:
@@ -90,14 +101,13 @@ def bandpower_problem(n: int = 64, nbands: int = 8, *,
     nr = n // 2 + 1
     sqw_n = jnp.sqrt(cfg.herm_weight) / n
 
-    edges = band_edges(n, nbands, k0)
-    band_grid = np.searchsorted(edges, np.asarray(cfg.k, np.float64),
-                                side="right")
+    k64 = _k_grid64(n)
+    edges = band_edges(n, nbands)
+    band_grid = np.searchsorted(edges, k64, side="right")
     band_idx = jnp.asarray(np.tile(band_grid.reshape(-1), 2), jnp.int32)
     # base spectrum per packed coordinate (θ=0 shape)
     P0 = jnp.tile(jnp.asarray(
-        (np.asarray(cfg.k, np.float64) + k0) ** (-gamma),
-        jnp.float32).reshape(-1), 2)
+        (k64 + k0) ** (-gamma), jnp.float32).reshape(-1), 2)
 
     def _C2(theta):
         """C per packed coordinate: P0 · exp(θ_{band})."""
@@ -222,10 +232,10 @@ def bandpower_mle(x_obs, n: int, nbands: int, *, sigma_noise: float = 1.0,
     xf = np.fft.rfft2(np.asarray(x_obs, np.float64))
     p = (np.abs(xf) ** 2) / (n ** 2)
     w = np.asarray(cfg.herm_weight, np.float64)
-    kk = np.asarray(cfg.k, np.float64)
+    kk = _k_grid64(n)
     s2 = sigma_noise ** 2
     P0 = (kk + k0) ** (-gamma)
-    edges = band_edges(n, nbands, k0)
+    edges = band_edges(n, nbands)
     band = np.searchsorted(edges, kk, side="right")
     onehot = (band[None] == np.arange(nbands)[:, None, None])  # (B, n, nr)
 

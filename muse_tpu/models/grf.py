@@ -431,6 +431,18 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
         normals — 2 FFT passes per iteration, but bit-compatible with
         the pixel representation's CRN stream (same key ⇒ same sim),
         which the cross-representation parity tests pin.
+
+        Two caveats of ``"marginal"``: (1) the returned z is a
+        CONDITIONAL draw u|x, not the u that "generated" x — correct
+        under the joint law, and inside this framework it is consumed
+        only as a MAP warm start (src/muse.jl:511-512), but a
+        ``custom_zhat`` or external consumer that treats the returned z
+        as the truth paired with x by the direct factorization (or that
+        relies on the u-draw being dead code for speed) must account
+        for this; (2) each ``noise`` mode is a DIFFERENT functional of
+        the PRNG key, so the round-3 default change direct→marginal
+        broke same-key sim/x_obs reproducibility with earlier versions
+        — pass ``noise="direct"`` to recover the old CRN stream.
       * The MAP solve, the analytic θ-score, the implicit-H
         preconditioner, warm starts, and all solver state are FFT-FREE
         elementwise/reduction work in both modes: Σ_c x̃_c² over packed

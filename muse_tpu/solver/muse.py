@@ -202,11 +202,8 @@ def muse_fit(
             t0 = _time.perf_counter()
 
             # convergence check (src/muse.jl:163-165)
-            if i > 2:
-                dth_t = history[-1]["theta_t"] - history[-2]["theta_t"]
-                metric = -dth_t @ history[-1]["Hinv_post_t"] @ dth_t
-                if math.sqrt(max(metric, 0.0)) < theta_rtol:
-                    break
+            if i > 2 and _theta_converged(history, theta_rtol, i):
+                break
 
             g_parts, g_t_parts, conv_parts, fail_parts, it_parts = \
                 [], [], [], [], []
@@ -337,6 +334,32 @@ def muse_fit(
               grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
               compiled=comp, progress=progress)
     return result
+
+
+def _theta_converged(history, theta_rtol: float, i: int) -> bool:
+    """The θ_rtol convergence test (src/muse.jl:163-165), guarded.
+
+    The reference's metric √(−Δθᵀ H⁻¹_post Δθ) assumes H⁻¹_post is
+    negative definite.  The sims-variance H⁻¹ is ND by construction, but
+    a Broyden replay from history (``Hinv_update="broyden"``) can drift
+    off the cone — the raw formula then clamps a NEGATIVE metric to 0 and
+    silently declares convergence on an arbitrary step.  Guard: when the
+    quadratic form has the wrong sign for a nonzero step, warn and fall
+    back to the magnitude |Δθᵀ H⁻¹_post Δθ| — a scale-matched step
+    measure that cannot manufacture a spurious 0."""
+    import warnings
+
+    dth_t = history[-1]["theta_t"] - history[-2]["theta_t"]
+    metric = float(-dth_t @ history[-1]["Hinv_post_t"] @ dth_t)
+    if metric <= 0.0 and float(dth_t @ dth_t) > 0.0:
+        warnings.warn(
+            f"MUSE iteration {i}: H⁻¹_post is not negative definite along "
+            f"the last step (Δθᵀ H⁻¹ Δθ = {-metric:.3g} ≥ 0) — likely "
+            "Broyden-replay drift. Using |Δθᵀ H⁻¹ Δθ| for the θ_rtol "
+            "test instead of silently declaring convergence; consider "
+            'Hinv_update="sims" or a smaller broyden_memory.')
+        metric = abs(metric)
+    return math.sqrt(metric) < theta_rtol
 
 
 def spec_flatten_z(comp: CompiledProblem, z) -> np.ndarray:

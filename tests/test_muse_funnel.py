@@ -483,3 +483,42 @@ def test_get_H_checkpoint_and_incremental_resume(prob, tmp_path):
     assert len(r2.Hs) == 5
     get_H(r2, prob, 0.0, key=key, nsims=5, max_batch=3, implicit_diff=True)
     np.testing.assert_allclose(r2.H, r.H)
+
+
+def test_convergence_guard_non_nd_hinv():
+    """A Hinv_post that has lost negative-definiteness (possible under
+    Broyden replay) must NOT silently declare convergence: the raw
+    metric -ΔθᵀH⁻¹Δθ clamps negative values to 0 — the guard warns and
+    falls back to the magnitude (VERDICT r3 weak #6)."""
+    import warnings
+
+    from muse_tpu.solver.muse import _theta_converged
+
+    dth = np.array([1.0, 0.0])
+    hist = [
+        {"theta_t": np.zeros(2)},
+        {"theta_t": dth,
+         # positive-definite Hinv_post: metric = -1 < 0 (ND lost)
+         "Hinv_post_t": np.eye(2)},
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # |metric| = 1 ≥ rtol: must NOT converge (raw formula would)
+        assert not _theta_converged(hist, 0.5, i=3)
+        assert any("negative definite" in str(wi.message) for wi in w)
+
+    # healthy ND Hinv_post keeps the reference semantics, no warning
+    hist[-1]["Hinv_post_t"] = -np.eye(2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _theta_converged(hist, 1.5, i=3)     # sqrt(1) < 1.5
+        assert not _theta_converged(hist, 0.5, i=3)
+        assert not w
+
+    # zero step is genuine convergence, not an ND violation
+    hist[-1]["theta_t"] = np.zeros(2)
+    hist[-1]["Hinv_post_t"] = np.eye(2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _theta_converged(hist, 0.5, i=3)
+        assert not w
