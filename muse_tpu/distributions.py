@@ -72,7 +72,12 @@ class _Expanded(Distribution):
         return self.base.sample(key, self._shape if shape is None else shape)
 
     def log_prob(self, x):
-        return self.base.log_prob(x)
+        # broadcast to the expanded batch shape so a scalar value under
+        # an expansion/plate is counted once PER BATCH ELEMENT when the
+        # PPL sums the site density (numpyro's accounting)
+        lp = self.base.log_prob(x)
+        return jnp.broadcast_to(
+            lp, jnp.broadcast_shapes(jnp.shape(lp), self._shape))
 
     def bijector(self):
         return self.base.bijector()

@@ -118,21 +118,25 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     ``defl_scale`` sets the rms deflection in pixels at θ=0.
 
     ``solver`` picks the latent MAP algorithm:
-      * ``"auto"`` (default) — ``"varpro"`` below 1024², ``"newton"`` at
-        n ≥ 1024 on TPU backends.  Reason (measured, this platform): at
-        1024² the compiled VarPro inner-CG program is VALUE-CORRUPTED
-        by XLA at specific lane counts — identical per-lane inputs give
-        ‖ẑ‖ ~ 5×10⁵ vs 80 and objective 10¹¹ vs 5×10⁵ at batch 13/17
-        while batch 5 is exact; sampling and the Newton-CG program are
-        batch-consistent at every width tested.  Replacing the
-        AD transpose with the hand-written adjoint (``lin_ops`` below)
-        fixes width 13 but NOT width 17, and ``fused_fft_ok(1024, 17)``
-        passes — so the trigger is the FFT-chain structure of the
-        whole while_loop program, is not detectable by the simple
-        fused-FFT probe, and cannot be engineered around term-by-term.
-        Same bug family as the fused batched-FFT miscompile
-        (utils/fft_check.py), different trigger; Newton-CG with exact
-        HVPs is the safe-and-fast path at flagship sizes.
+      * ``"auto"`` (default) — ``"varpro"`` at every size.  Until round
+        3 this routed n ≥ 1024 to Newton-CG because the compiled VarPro
+        program is VALUE-CORRUPTED by XLA at specific 1024² lane counts
+        (identical per-lane inputs gave ‖ẑ‖ ~ 5×10⁵ vs 80 and objective
+        10¹¹ vs 5×10⁵ at batch 13/17 while 5 was exact; the hand-written
+        adjoint fixes 13 but not 17, and ``fused_fft_ok(1024, 17)``
+        passes — the trigger is the whole while_loop program's
+        structure, invisible to structural probes).  The blanket reroute
+        is now replaced by RUNTIME VALUE-INTEGRITY CERTIFICATION
+        (muse_tpu/solver/certify.py, on by default for field models on
+        TPU backends): every solver entry point spot-re-solves chunk
+        lanes with an independently compiled B=1 program, and a failed
+        verdict re-runs the chunk lane-wise and routes future chunks to
+        a width that certifies — so VarPro's ~2× speed advantage is kept
+        at every (model, n, width) combination that actually compiles
+        correctly, and corrupted ones are detected semantically instead
+        of being guessed at build time.  Pick ``max_batch`` so lanes
+        land on a width measured good (see BENCHMARKS.md's 1024²
+        certified-width table) to avoid paying the reroute.
       * ``"varpro"`` — batched variable projection (ops/varpro.py): the
         observation is linear in the unlensed field given the potential,
         so the field is eliminated by an exact Fourier-preconditioned
@@ -548,11 +552,12 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         return Zf, aux
 
     if solver == "auto":
-        # the value-corruption justifying the reroute was measured only
-        # on the TPU-family backends (docstring above); CPU and GPU keep
-        # the faster VarPro path
-        tpu_like = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-        solver = "newton" if n >= 1024 and tpu_like else "varpro"
+        # VarPro everywhere: the platform's batch-width value corruption
+        # (docstring above) is handled by the runtime certification in
+        # the solvers (muse_tpu/solver/certify.py), not by a build-time
+        # guess — a corrupted width is detected against a B=1 re-solve,
+        # repaired lane-wise, and rerouted.
+        solver = "varpro"
     custom = {"gn": zhat_newton, "newton": zhat_newton,
               "varpro": zhat_varpro, "lbfgs": None}[solver]
 

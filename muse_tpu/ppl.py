@@ -44,10 +44,11 @@ from . import transforms as tf
 from .distributions import Distribution
 from .problem import MuseProblem
 
-__all__ = ["sample", "deterministic", "trace", "seed", "substitute",
-           "PPLMuseProblem", "model_problem"]
+__all__ = ["sample", "deterministic", "plate", "trace", "seed",
+           "substitute", "PPLMuseProblem", "model_problem"]
 
 _HANDLER_STACK: list = []
+_PLATE_STACK: list = []
 
 
 class Messenger:
@@ -105,6 +106,62 @@ class trace(Messenger):
         self.sites[site["name"]] = dict(site)
 
 
+class plate(Messenger):
+    """Declare an independence dimension — ``numpyro.plate`` semantics
+    (the ``with`` form; virtually every real hierarchical numpyro model
+    uses it, which is why the Turing adapter's arbitrary-model ingestion
+    at src/turing.jl:137-144 needs this analog).
+
+    Inside ``with plate(name, size, dim=None)``, every sample site's
+    distribution is expanded so its batch shape carries ``size`` along
+    ``dim`` (negative, counted from the right).  ``dim=None``
+    auto-allocates the next free dim to the LEFT of every enclosing
+    plate's — numpyro's allocation rule — so nested plates stack::
+
+        with plate("groups", G):               # dim -1
+            mu = sample("mu", Normal(0., 3.))          # shape (G,)
+            with plate("items", N):            # dim -2
+                x = sample("x", Normal(mu, 1.))        # shape (N, G)
+
+    Plate dims are elementwise-independent, so site log-densities SUM
+    over them (``_site_logpdf``), and a scalar value observed or
+    substituted under a plate is counted ``size`` times — both exactly
+    numpyro's accounting.  The subsampling/iteration forms
+    (``plate(..., subsample_size=...)``, ``for i in plate(...)``) are
+    not implemented: MUSE needs full-data densities (minibatch scaling
+    would silently bias the score).
+    """
+
+    def __init__(self, name: str, size: int, dim=None):
+        self.name = name
+        self.size = int(size)
+        if dim is not None and dim >= 0:
+            raise ValueError("plate dim must be negative (from the right)")
+        self.dim = dim
+
+    def __enter__(self):
+        if self.dim is None:
+            used = [p.dim for p in _PLATE_STACK]
+            self.dim = (min(used) - 1) if used else -1
+        elif any(p.dim == self.dim for p in _PLATE_STACK):
+            raise ValueError(
+                f"plate dim {self.dim} is already used by an enclosing "
+                "plate — pass distinct dims or let them auto-allocate")
+        _PLATE_STACK.append(self)
+        return super().__enter__()
+
+    def __exit__(self, *exc):
+        assert _PLATE_STACK.pop() is self
+        return super().__exit__(*exc)
+
+    def process(self, site):
+        if site["type"] != "sample":
+            return
+        pshape = (self.size,) + (1,) * (-self.dim - 1)
+        site["dist"] = site["dist"].expand(
+            jnp.broadcast_shapes(tuple(site["dist"].shape), pshape))
+
+
 def sample(name: str, dist: Distribution, obs=None):
     """Declare a random variable.  Returns its (sampled/substituted) value."""
     site = {"type": "sample", "name": name, "dist": dist, "value": obs,
@@ -115,7 +172,8 @@ def sample(name: str, dist: Distribution, obs=None):
         if site["key"] is None:
             raise RuntimeError(
                 f"site {name!r} has no value and no seed handler is active")
-        site["value"] = dist.sample(site["key"])
+        # site["dist"], not the argument: plates expand it in process()
+        site["value"] = site["dist"].sample(site["key"])
     site["value"] = jnp.asarray(site["value"])
     for h in _HANDLER_STACK:
         h.postprocess(site)

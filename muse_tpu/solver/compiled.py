@@ -204,7 +204,8 @@ class CompiledProblem:
             xs, Zs = self._sample_batch(keys, th)
             Z, aux = self._solve_maps(xs, Zs, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
-            return {"g": g, **aux}
+            # Z rides along for the value-integrity certifier (certify.py)
+            return {"g": g, "Z": Z, **aux}
         return jax.jit(run)
 
     @functools.cached_property
@@ -268,7 +269,8 @@ class CompiledProblem:
             Z, aux = self._solve_maps(xs, Z0, th, atol)
             g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
             g = g[:M].reshape((nsims, ntheta, ns, ntheta))
-            return {"g": g,
+            # Z rides along for the value-integrity certifier (certify.py)
+            return {"g": g, "Z": Z[:M],
                     "converged": aux["converged"][:M].reshape(
                         nsims, ntheta, ns),
                     "failed": aux["failed"][:M].reshape(nsims, ntheta, ns)}
@@ -363,6 +365,18 @@ class CompiledProblem:
         fn = jax.jit(run, static_argnames=("cg_maxiter", "h1_is_zero"))
         cache[precond] = fn
         return fn
+
+    # ------------------------------------------------------------ #
+    # value-integrity certification (solver/certify.py)
+    # ------------------------------------------------------------ #
+
+    @functools.cached_property
+    def certifier(self):
+        """Shared :class:`~muse_tpu.solver.certify.ChunkCertifier` so the
+        muse/get_J/get_H flows of one fit share verdicts and width
+        routing (the platform's batch-width value-corruption guard)."""
+        from .certify import ChunkCertifier
+        return ChunkCertifier(self)
 
     # ------------------------------------------------------------ #
     # tiny θ-space derivatives (prior / transforms)

@@ -50,7 +50,8 @@ def sample_covariance(gs: np.ndarray) -> np.ndarray:
     return np.atleast_2d(np.cov(np.asarray(gs), rowvar=False, ddof=1))
 
 
-def _key_chunks(keys, max_batch, mesh, fft_n=None):
+def _key_chunks(keys, max_batch, mesh, fft_n=None, certifier=None,
+                kind=None):
     """Yield (device_keys, true_count) chunks of the per-sim key array.
 
     ``max_batch`` bounds device memory (the BatchWorkerPool analog,
@@ -59,6 +60,8 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None):
     discarded work.  With a mesh, each chunk is sharded over the sims
     axis.  ``fft_n`` (a problem's declared ``fft_grid``) triggers the
     empirical fused-FFT integrity check at the chosen per-device width.
+    ``certifier``/``kind`` route the width away from batch sizes a
+    previous value-integrity probe found corrupted (solver/certify.py).
     """
     import jax.numpy as jnp
 
@@ -72,6 +75,11 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None):
     # mesh the width is a device-count multiple with odd shards
     n_shards = mesh.n_sims_shards if mesh is not None else 1
     width = safe_lane_count(step, n_shards)
+    if certifier is not None:
+        rw = certifier.route_width(kind, width)
+        if rw != width:
+            step = min(step, rw)
+            width = safe_lane_count(step, n_shards)
     if fft_n:
         validate_fft_lanes(fft_n, width, n_shards)
     for i in range(0, n, step):
@@ -81,6 +89,182 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None):
         if mesh is not None:
             chunk = mesh.shard_sims(chunk)
         yield chunk, c
+
+
+def _mk_certifier(comp, certify, problem, n_rem, max_batch, mesh):
+    """Resolve the ``certify`` kwarg against the planned chunk width
+    (solver/certify.py)."""
+    from ..utils.fft_check import safe_lane_count
+    from .certify import certify_enabled
+
+    n_shards = mesh.n_sims_shards if mesh is not None else 1
+    step = n_rem if max_batch is None else max_batch
+    width0 = safe_lane_count(step, n_shards)
+    return (comp.certifier
+            if certify_enabled(certify, problem, width0) else None)
+
+
+def _certified_sim_chunk(comp, certifier, kind, call, chunk, c,
+                         th_dev, atol_dev, warm):
+    """Run one per-sim batched chunk (``call(keys)``), value-certified.
+
+    When the certifier is active, 1-2 lanes of the chunk's MAP output
+    are re-solved with the independently compiled B=1 program and
+    compared (solver/certify.py); a failed verdict re-runs the chunk
+    lane-by-lane with that B=1 program (per-sim chunks contain exactly
+    one MAP per lane, so the B=1 instantiation IS the certified
+    reference).  ``warm`` names the chunk's warm-start rule so the probe
+    reconstructs lane inputs: "true_z" (get_J, src/muse.jl:511-512) or
+    "guess" (get_H fiducial fits, src/muse.jl:417-423).
+    """
+    import jax
+
+    w = chunk.shape[0]
+
+    def lanewise():
+        ch = jnp.asarray(jax.device_get(chunk))
+        return certifier.rerun_lanewise(call, c,
+                                        lambda j: (ch[j:j + 1],))
+
+    if certifier is not None and certifier.is_bad(kind, w):
+        return lanewise()
+    out = call(chunk)
+    if certifier is not None and certifier.should_probe(kind, w):
+        ch = jnp.asarray(jax.device_get(chunk))
+        cache = {}
+
+        def xz(j):
+            if j not in cache:
+                x, z = certifier._sample1(ch[j], th_dev)
+                z0 = (z if warm == "true_z"
+                      else certifier._guess1(x, z, th_dev))
+                cache[j] = (x, z0)
+            return cache[j]
+
+        lanes = sorted({0, c - 1})[:certifier.probe_lanes]
+        if not certifier.probe(kind, w, lanes, lambda j: xz(j)[0],
+                               lambda j: xz(j)[1], out["Z"],
+                               th_dev, atol_dev):
+            return lanewise()
+    return out
+
+
+def _certified_h_fd_chunk(certifier, comp, chunk, c, th, step_now,
+                          offsets, Zfid, atol, dtype, n_shards):
+    """Value-certified finite-difference H chunk.
+
+    The batched ``h_fd`` program fans each sims chunk out into
+    nsims·nθ·stencil internal MAP lanes (compiled.py), so its probe maps
+    internal lane ℓ back to (sim s, θ-column j, stencil offset k),
+    reconstructs that lane's inputs — x sampled at the perturbed θ with
+    the sim's key, warm start = the sim's fiducial fit — and re-solves
+    at the FIDUCIAL θ with the B=1 program (src/muse.jl:426-433
+    semantics).  The lane-wise fallback rebuilds every FD gradient with
+    the B=1 solve + an independent ∇θ evaluator, reporting convergence
+    from the TRUE gradient sup-norm.
+    """
+    import jax
+
+    ntheta = th.shape[0]
+    ns = len(offsets)
+    th_dev = jnp.asarray(th, dtype)
+    atol_dev = jnp.asarray(atol, dtype)
+    w = chunk.shape[0]
+
+    def pert(ell):
+        s, j, k = (ell // (ntheta * ns), (ell // ns) % ntheta, ell % ns)
+        th_p = np.array(th, np.float64)
+        th_p[j] += offsets[k] * step_now[j]
+        return s, th_p
+
+    def lanewise():
+        ch = jnp.asarray(jax.device_get(chunk))
+        Zf = jnp.asarray(jax.device_get(Zfid))
+        g = np.zeros((c, ntheta, ns, ntheta))
+        conv = np.zeros((c, ntheta, ns), bool)
+        fail = np.zeros((c, ntheta, ns), bool)
+        for s in range(c):
+            for j in range(ntheta):
+                for k in range(ns):
+                    _, th_p = pert((s * ntheta + j) * ns + k)
+                    x, _ = certifier._sample1(
+                        ch[s], jnp.asarray(th_p, dtype))
+                    Z1 = certifier._solve1(x, Zf[s], th_dev, atol_dev)
+                    f1, gsup = certifier._fg1(x, Z1, th_dev)
+                    g[s, j, k] = np.asarray(
+                        certifier._gradth1(x, Z1, th_dev), np.float64)
+                    fail[s, j, k] = not np.isfinite(float(f1))
+                    conv[s, j, k] = (not fail[s, j, k]
+                                     and float(gsup) < float(atol))
+        return {"g": g, "converged": conv, "failed": fail}
+
+    if certifier is not None and certifier.is_bad("h_fd", w):
+        return lanewise()
+    out = comp.h_fd(chunk, th_dev, jnp.asarray(step_now, dtype), Zfid,
+                    atol_dev, jnp.asarray(offsets, dtype),
+                    n_shards=n_shards)
+    if certifier is not None and certifier.should_probe("h_fd", w):
+        ch = jnp.asarray(jax.device_get(chunk))
+        Zf = jnp.asarray(jax.device_get(Zfid))
+        lanes = sorted({0, c * ntheta * ns - 1})[:certifier.probe_lanes]
+
+        def x_of(ell):
+            s, th_p = pert(ell)
+            x, _ = certifier._sample1(ch[s], jnp.asarray(th_p, dtype))
+            return x
+
+        def z0_of(ell):
+            return Zf[ell // (ntheta * ns)]
+
+        if not certifier.probe("h_fd", w, lanes, x_of, z0_of,
+                               out["Z"], th_dev, atol_dev):
+            return lanewise()
+    return out
+
+
+def _certified_h_impl_chunk(certifier, call, chunk, c):
+    """Value-certified implicit-diff H chunk: ``call(keys)`` is the
+    vmapped per-sim H pipeline; the probe re-runs the first lane alone
+    (a fresh B=1 XLA program) and compares the H matrices — 5% entrywise
+    agreement is far looser than fp divergence and far tighter than the
+    measured corruption family (solver/certify.py)."""
+    import warnings
+
+    import jax
+
+    w = chunk.shape[0]
+
+    def lanewise():
+        ch = jnp.asarray(jax.device_get(chunk))
+        parts = [call(ch[j:j + 1]) for j in range(c)]
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+
+    if certifier is not None and certifier.is_bad("h_implicit", w):
+        return lanewise()
+    Hs_c, resid_c = call(chunk)
+    if certifier is not None and certifier.should_probe("h_implicit", w):
+        ch = jnp.asarray(jax.device_get(chunk))
+        H_ref = np.asarray(call(ch[:1])[0], np.float64)[0]
+        H_b = np.asarray(Hs_c, np.float64)[0]
+        scale = max(float(np.max(np.abs(H_ref))), 1e-30)
+        if (not np.isfinite(H_b).all()
+                or float(np.max(np.abs(H_b - H_ref))) >
+                certifier.rtol * scale):
+            certifier._bad.add(("h_implicit", w))
+            certifier.events.append(
+                {"kind": "h_implicit", "width": w, "lane": 0,
+                 "H_batch_max": float(np.max(np.abs(H_b))),
+                 "H_ref_max": float(np.max(np.abs(H_ref)))})
+            warnings.warn(
+                "VALUE-INTEGRITY CERTIFICATION FAILED for the compiled "
+                f"implicit-diff H program at batch width {w}: lane 0 "
+                f"re-run alone gives max|H| {np.max(np.abs(H_ref)):.6g} "
+                f"but the batched program produced "
+                f"{np.max(np.abs(H_b)):.6g}. Re-running the chunk "
+                "lane-by-lane (see muse_tpu/solver/certify.py).")
+            return lanewise()
+    return Hs_c, resid_c
 
 
 def _as_problem(problem, theta0, observed):
@@ -141,6 +325,7 @@ def get_J(
     observed=None,
     warn_reuse: bool = True,
     checkpoint_file: Optional[str] = None,
+    certify="auto",
 ) -> MuseResult:
     """Monte-Carlo covariance of MAP score gradients at θ₀ (``get_J!``).
 
@@ -186,15 +371,22 @@ def get_J(
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
         n_dropped = n_nonconv = n_run = 0
+        certifier = _mk_certifier(comp, certify, problem, nsims_remaining,
+                                  max_batch, mesh)
+        th_dev = jnp.asarray(th, dtype)
+        atol_dev = jnp.asarray(grad_z_atol, dtype)
         # per-sim progress ticks, one per completed device chunk (the
         # RemoteProgress analog, src/muse.jl:507); scores land in
         # result.gs per chunk so a mid-run kill loses at most one chunk
         pbar = ProgressReporter(nsims_remaining, "get_J", enabled=progress)
         try:
             for chunk, c in _key_chunks(keys, max_batch, mesh,
-                                        getattr(problem, "fft_grid", None)):
-                out = comp.j_sims(chunk, jnp.asarray(th, dtype),
-                                  jnp.asarray(grad_z_atol, dtype))
+                                        getattr(problem, "fft_grid", None),
+                                        certifier, "j_sims"):
+                out = _certified_sim_chunk(
+                    comp, certifier, "j_sims",
+                    lambda k1: comp.j_sims(k1, th_dev, atol_dev),
+                    chunk, c, th_dev, atol_dev, warm="true_z")
                 g_c = np.asarray(out["g"], np.float64)[:c]
                 failed_c = np.asarray(out["failed"])[:c]
                 if "converged" in out:
@@ -255,6 +447,7 @@ def get_H(
     progress: bool = False,
     observed=None,
     checkpoint_file: Optional[str] = None,
+    certify="auto",
 ) -> MuseResult:
     """Mean Jacobian of the MAP score wrt the sim-generation θ (``get_H!``).
 
@@ -310,21 +503,28 @@ def get_H(
         return result
 
     keys = sim_keys(key, nsims, salt=1)[nsims_existing:]
+    certifier = _mk_certifier(comp, certify, problem, nsims_remaining,
+                              max_batch, mesh)
 
     if implicit_diff:
         n_dropped = 0
         h_impl = comp.h_implicit_with(implicit_diff_precond)
         resid_store = result.metadata.setdefault(
             "implicit_diff_cg_resid", [])
+
+        def h_impl_call(ch):
+            return h_impl(ch, jnp.asarray(th, dtype),
+                          jnp.asarray(implicit_fit_atol, dtype),
+                          implicit_diff_cg_maxiter, implicit_diff_cg_tol,
+                          implicit_diff_H1_is_zero)
+
         pbar = ProgressReporter(nsims_remaining, "get_H", enabled=progress)
         try:
             for chunk, c in _key_chunks(keys, max_batch, mesh,
-                                        getattr(problem, "fft_grid", None)):
-                Hs_c, resid_c = h_impl(
-                    chunk, jnp.asarray(th, dtype),
-                    jnp.asarray(implicit_fit_atol, dtype),
-                    implicit_diff_cg_maxiter, implicit_diff_cg_tol,
-                    implicit_diff_H1_is_zero)
+                                        getattr(problem, "fft_grid", None),
+                                        certifier, "h_implicit"):
+                Hs_c, resid_c = _certified_h_impl_chunk(
+                    certifier, h_impl_call, chunk, c)
                 Hs_c = np.asarray(Hs_c, np.float64)[:c]
                 resid_c = np.asarray(resid_c)[:c]
                 bad = ~np.isfinite(Hs_c).all(axis=(1, 2))
@@ -414,20 +614,26 @@ def get_H(
             given — finalizes each chunk immediately (kill-resilient
             non-adaptive path); otherwise the whole pass is returned for
             the adaptive step-rebalance."""
+            from ..utils.fft_check import pad_lanes_to
+            th_dev = jnp.asarray(th, dtype)
+            atol_dev = jnp.asarray(grad_z_atol, dtype)
             g_parts, failed_parts = [], []
             first = not fid_cache
             for ci, (chunk, c) in enumerate(
-                    _key_chunks(keys, max_batch, mesh, fft_n)):
+                    _key_chunks(keys, max_batch, mesh, fft_n,
+                                certifier, "h_fd_sims")):
+                w = chunk.shape[0]
                 if first:
-                    fid = comp.h_fiducial(chunk, jnp.asarray(th, dtype),
-                                          jnp.asarray(grad_z_atol, dtype))
-                    fid_cache.append(fid["Z"])
+                    fid = _certified_sim_chunk(
+                        comp, certifier, "h_fiducial",
+                        lambda k1: comp.h_fiducial(k1, th_dev, atol_dev),
+                        chunk, c, th_dev, atol_dev, warm="guess")
+                    # a lane-wise fallback returns c (unpadded) lanes
+                    fid_cache.append(pad_lanes_to(fid["Z"], w))
                     pbar.step(inc=c, msg="fiducial fits")
-                out = comp.h_fd(chunk, jnp.asarray(th, dtype),
-                                jnp.asarray(step_now, dtype), fid_cache[ci],
-                                jnp.asarray(grad_z_atol, dtype),
-                                jnp.asarray(offsets, dtype),
-                                n_shards=n_shards)
+                out = _certified_h_fd_chunk(
+                    certifier, comp, chunk, c, th, step_now, offsets,
+                    fid_cache[ci], grad_z_atol, dtype, n_shards)
                 g_c = np.asarray(out["g"], np.float64)[:c]
                 failed_c = np.asarray(out["failed"])[:c].any(axis=(1, 2))
                 if commit is not None:

@@ -103,6 +103,7 @@ def muse_fit(
     dtype=jnp.float32,
     compiled: Optional[CompiledProblem] = None,
     profile_dir: Optional[str] = None,
+    certify="auto",
 ) -> MuseResult:
     """Run/resume the MUSE iteration on ``result`` (``muse!`` analog).
 
@@ -111,7 +112,17 @@ def muse_fit(
       Hinv_update  — "sims" | "broyden" | "diagonal_broyden";
       mesh         — optional :class:`muse_tpu.parallel.SimsMesh` to shard
                      the sims axis across devices (the worker-``pool``
-                     analog, src/muse.jl:124).
+                     analog, src/muse.jl:124);
+      certify      — "auto" (default) | True | False: runtime
+                     value-integrity certification of each batched MAP
+                     chunk against an independently compiled B=1 program
+                     (solver/certify.py — the guard for the platform's
+                     batch-width value-corruption family).  "auto" turns
+                     it on for field models (``fft_grid`` declared) on
+                     non-CPU backends.  On a failed verdict the chunk is
+                     re-run lane-wise and future chunks are routed to a
+                     smaller width, so results stay correct (slower);
+                     the warning says which width failed.
     """
     if Hinv_update not in ("sims", "broyden", "diagonal_broyden"):
         raise ValueError(f"invalid Hinv_update={Hinv_update!r}")
@@ -161,31 +172,46 @@ def muse_fit(
     # power deficit; see muse_tpu/utils/fft_check.py).  With a mesh the
     # width is additionally a multiple of the sims-axis device count so
     # mesh.shard_sims adds no further (even-making) padding.
-    from ..utils.fft_check import safe_lane_count, validate_fft_lanes
+    from ..utils.fft_check import (pad_lanes_to, safe_lane_count,
+                                   validate_fft_lanes)
+    from .certify import certify_enabled
     step_sz = B if max_batch is None else min(max_batch, B)
     n_shards = mesh.n_sims_shards if mesh is not None else 1
     width = safe_lane_count(step_sz, n_shards)
-    if getattr(problem, "fft_grid", None):
-        # empirical fused-FFT integrity check at the actual per-device
-        # width — fail loudly rather than trust the odd-lane rule on an
-        # untested backend (utils/fft_check.py)
-        validate_fft_lanes(problem.fft_grid, width, n_shards)
-    bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
+    certifier = (comp.certifier
+                 if certify_enabled(certify, problem, width) else None)
 
-    from ..utils.fft_check import pad_lanes_to
+    def make_chunks(z_rows_fn):
+        """(Re)build the lane chunking at the currently routed width.
+        ``z_rows_fn(s0, e0)`` supplies warm-start rows for those lanes."""
+        nonlocal step_sz, width
+        if certifier is not None:
+            rw = certifier.route_width("muse_step", width)
+            if rw != width:
+                step_sz = min(step_sz, rw)
+                width = safe_lane_count(step_sz, n_shards)
+        if getattr(problem, "fft_grid", None):
+            # empirical fused-FFT integrity check at the actual
+            # per-device width — fail loudly rather than trust the
+            # odd-lane rule on an untested backend (utils/fft_check.py)
+            validate_fft_lanes(problem.fft_grid, width, n_shards)
+        bounds = [(s0, min(s0 + step_sz, B)) for s0 in range(0, B, step_sz)]
+        ks, zs, ls = [], [], []
+        for s0, e0 in bounds:
+            kc = pad_lanes_to(keys_all[s0:e0], width)
+            zc = pad_lanes_to(jnp.asarray(z_rows_fn(s0, e0), dtype), width)
+            lc = pad_lanes_to(jnp.arange(s0, e0), width)
+            if mesh is not None:
+                kc = mesh.shard_sims(kc)
+                zc = mesh.shard_sims(zc, field=True)
+                lc = mesh.shard_sims(lc)
+            ks.append(kc)
+            zs.append(zc)
+            ls.append(lc)
+        return bounds, ks, zs, ls
 
-    keys_chunks, Z_chunks, lane_chunks = [], [], []
-    for s0, e0 in bounds:
-        kc = pad_lanes_to(keys_all[s0:e0], width)
-        zc = jnp.broadcast_to(z0_flat, (width, comp.nz))
-        lc = pad_lanes_to(jnp.arange(s0, e0), width)
-        if mesh is not None:
-            kc = mesh.shard_sims(kc)
-            zc = mesh.shard_sims(zc, field=True)
-            lc = mesh.shard_sims(lc)
-        keys_chunks.append(kc)
-        Z_chunks.append(zc)
-        lane_chunks.append(lc)
+    bounds, keys_chunks, Z_chunks, lane_chunks = make_chunks(
+        lambda s0, e0: jnp.broadcast_to(z0_flat, (e0 - s0, comp.nz)))
 
     pbar = ProgressReporter(maxsteps - len(history), "MUSE",
                             enabled=progress)
@@ -196,6 +222,17 @@ def muse_fit(
     profile_ctx = (jax.profiler.trace(profile_dir) if profile_dir
                    else _nullcontext())
 
+    def _lanewise_muse(th_dev, th_t_dev, kc, Zp, lc, c, atol_dev):
+        """Certified fallback: re-run a chunk's true lanes one at a time
+        with the B=1 program (the certifier's own reference program)."""
+        kc, Zp, lc = (jnp.asarray(jax.device_get(a))
+                      for a in (kc, Zp, lc))
+        return certifier.rerun_lanewise(
+            lambda k1, z1, l1: comp.muse_step(th_dev, th_t_dev, k1, z1,
+                                              l1, atol_dev),
+            c, lambda j: (kc[j:j + 1], Zp[j:j + 1], lc[j:j + 1]))
+
+    rebuild = False
     try:
       with profile_ctx:
         for i in range(len(history) + 1, maxsteps + 1):
@@ -205,18 +242,55 @@ def muse_fit(
             if i > 2 and _theta_converged(history, theta_rtol, i):
                 break
 
+            if rebuild:
+                # a certification failure rerouted the width: re-chunk
+                # the per-lane warm-start state at the certified width
+                Z_full = jnp.concatenate(
+                    [Z_chunks[ci][:e0 - s0]
+                     for ci, (s0, e0) in enumerate(bounds)])
+                bounds, keys_chunks, Z_chunks, lane_chunks = make_chunks(
+                    lambda s0, e0: Z_full[s0:e0])
+                rebuild = False
+
+            th_dev = jnp.asarray(th, dtype)
+            th_t_dev = jnp.asarray(th_t, dtype)
+            atol_dev = jnp.asarray(grad_z_atol, dtype)
             g_parts, g_t_parts, conv_parts, fail_parts, it_parts = \
                 [], [], [], [], []
             zhat_dat = None
             zhat_sims_parts = []
             for ci, ((s0, e0), kc, lc) in enumerate(
                     zip(bounds, keys_chunks, lane_chunks)):
-                out = comp.muse_step(jnp.asarray(th, dtype),
-                                     jnp.asarray(th_t, dtype),
-                                     kc, Z_chunks[ci], lc,
-                                     jnp.asarray(grad_z_atol, dtype))
-                Z_chunks[ci] = out["Z"]
                 c = e0 - s0
+                Z_prev_c = Z_chunks[ci]
+                if certifier is not None and certifier.is_bad(
+                        "muse_step", width):
+                    out = _lanewise_muse(th_dev, th_t_dev, kc, Z_prev_c,
+                                         lc, c, atol_dev)
+                    rebuild = True
+                else:
+                    out = comp.muse_step(th_dev, th_t_dev,
+                                         kc, Z_prev_c, lc, atol_dev)
+                    if (certifier is not None
+                            and certifier.should_probe("muse_step", width)):
+                        lanes = sorted({0, c - 1})[:certifier.probe_lanes]
+                        kc_h = jnp.asarray(jax.device_get(kc))
+                        lc_h = np.asarray(jax.device_get(lc))
+
+                        def x_of(j):
+                            if int(lc_h[j]) == 0:
+                                return comp.x_obs
+                            x, _ = certifier._sample1(kc_h[j], th_dev)
+                            return x
+
+                        if not certifier.probe(
+                                "muse_step", width, lanes, x_of,
+                                lambda j: Z_prev_c[j], out["Z"],
+                                th_dev, atol_dev):
+                            out = _lanewise_muse(th_dev, th_t_dev, kc,
+                                                 Z_prev_c, lc, c, atol_dev)
+                            rebuild = True
+                Z_chunks[ci] = out["Z"]
                 g_parts.append(np.asarray(out["g"], np.float64)[:c])
                 g_t_parts.append(np.asarray(out["g_t"], np.float64)[:c])
                 conv_parts.append(np.asarray(out["converged"])[:c])
@@ -329,10 +403,11 @@ def muse_fit(
         from .jacobians import get_H, get_J
         get_J(result, problem, key=key, nsims=nsims,
               grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
-              compiled=comp, progress=progress, warn_reuse=False)
+              compiled=comp, progress=progress, warn_reuse=False,
+              certify=certify)
         get_H(result, problem, key=key, nsims=max(1, nsims // 10),
               grad_z_atol=grad_z_atol, mesh=mesh, dtype=dtype,
-              compiled=comp, progress=progress)
+              compiled=comp, progress=progress, certify=certify)
     return result
 
 

@@ -56,7 +56,8 @@ def sample(name, fn, obs=None):
         if site["key"] is None:
             raise RuntimeError(f"site {name!r} has no value and no seed "
                                "handler is active")
-        site["value"] = fn.sample(site["key"])
+        # site["fn"], not the argument: plates expand it in process()
+        site["value"] = site["fn"].sample(site["key"])
     site["value"] = jnp.asarray(site["value"])
     for h in _STACK:
         h.postprocess(site)
@@ -116,6 +117,50 @@ class trace(_Handler):
 
     def postprocess(self, site):
         self.sites[site["name"]] = dict(site)
+
+
+_PLATES: list = []
+
+
+class plate:
+    """numpyro.plate's ``with`` form (the stub's independent
+    implementation of the same semantics as ``muse_tpu.ppl.plate``):
+    sample sites inside get their distribution expanded so the batch
+    shape carries ``size`` along ``dim``; ``dim=None`` auto-allocates
+    the next dim left of every enclosing plate's (numpyro's rule) —
+    nested plates stack as (inner_size, ..., outer_size)."""
+
+    def __init__(self, name, size, dim=None):
+        self.name = name
+        self.size = int(size)
+        if dim is not None and dim >= 0:
+            raise ValueError("plate dim must be negative")
+        self.dim = dim
+
+    def __enter__(self):
+        if self.dim is None:
+            used = [p.dim for p in _PLATES]
+            self.dim = (min(used) - 1) if used else -1
+        elif any(p.dim == self.dim for p in _PLATES):
+            raise ValueError(f"plate dim {self.dim} already in use")
+        _PLATES.append(self)
+        _STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        assert _STACK.pop() is self
+        assert _PLATES.pop() is self
+
+    def process(self, site):
+        if site["type"] != "sample":
+            return
+        fn = site["fn"]
+        pshape = (self.size,) + (1,) * (-self.dim - 1)
+        site["fn"] = fn.expand(
+            jnp.broadcast_shapes(tuple(fn._shape), pshape))
+
+    def postprocess(self, site):
+        pass
 
 
 # --------------------------------------------------------------------- #
@@ -251,6 +296,13 @@ class _Dist:
     def sample(self, key, sample_shape=()):
         return self._sample(key, tuple(sample_shape) + self._shape)
 
+    def log_prob(self, x):
+        # broadcast to the batch shape: a scalar value under a plate
+        # expansion is counted once per batch element (numpyro semantics)
+        lp = self._log_prob(x)
+        return jnp.broadcast_to(lp, jnp.broadcast_shapes(jnp.shape(lp),
+                                                         self._shape))
+
     def expand(self, shape):
         import copy
         new = copy.copy(self)
@@ -268,7 +320,7 @@ class Normal(_Dist):
     def _sample(self, key, shape):
         return self.loc + self.scale * jax.random.normal(key, shape)
 
-    def log_prob(self, x):
+    def _log_prob(self, x):
         z = (x - self.loc) / self.scale
         return -0.5 * z * z - jnp.log(self.scale) - _HALF_LOG_2PI
 
@@ -283,7 +335,7 @@ class LogNormal(_Dist):
     def _sample(self, key, shape):
         return jnp.exp(self.loc + self.scale * jax.random.normal(key, shape))
 
-    def log_prob(self, x):
+    def _log_prob(self, x):
         lx = jnp.log(x)
         z = (lx - self.loc) / self.scale
         return -0.5 * z * z - jnp.log(self.scale) - _HALF_LOG_2PI - lx
@@ -298,7 +350,7 @@ class HalfNormal(_Dist):
     def _sample(self, key, shape):
         return jnp.abs(self.scale * jax.random.normal(key, shape))
 
-    def log_prob(self, x):
+    def _log_prob(self, x):
         z = x / self.scale
         return -0.5 * z * z - jnp.log(self.scale) - _HALF_LOG_2PI + _LOG_2
 
@@ -312,7 +364,7 @@ class Uniform(_Dist):
     def _sample(self, key, shape):
         return self.lo + (self.hi - self.lo) * jax.random.uniform(key, shape)
 
-    def log_prob(self, x):
+    def _log_prob(self, x):
         inside = (x >= self.lo) & (x <= self.hi)
         return jnp.where(inside, -jnp.log(self.hi - self.lo), -jnp.inf)
 
@@ -328,6 +380,7 @@ def _build_modules():
     h_mod = types.ModuleType("numpyro.handlers")
 
     np_mod.sample = sample
+    np_mod.plate = plate
     np_mod.distributions = dist_mod
     np_mod.handlers = h_mod
     np_mod.__stub__ = True

@@ -224,3 +224,106 @@ def test_soss_convention_volume_factor(x_obs):
                            params=("amp",), volume_factor=False)
     assert not p.volume_factor
     assert check_self_consistency(p, {"amp": 1.3})
+
+
+# ------------------------------------------------------------------ #
+# plate (VERDICT r3 missing #1: numpyro.plate semantics in the PPL)
+# ------------------------------------------------------------------ #
+
+def test_plate_shapes_and_dim_allocation():
+    """Nested plates auto-allocate dims right-to-left (outer -1, inner
+    -2), numpyro's rule — samples stack as (inner, ..., outer)."""
+    def m():
+        th = ppl.sample("theta", Normal(0.0, 3.0))
+        with ppl.plate("groups", 4):
+            z = ppl.sample("z", Normal(th, 0.7))
+            with ppl.plate("items", 8):
+                ppl.sample("x", Normal(z, 0.5))
+
+    with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(0)):
+        m()
+    assert tr.sites["theta"]["value"].shape == ()
+    assert tr.sites["z"]["value"].shape == (4,)
+    assert tr.sites["x"]["value"].shape == (8, 4)
+
+
+def test_plate_explicit_dim():
+    def m():
+        with ppl.plate("a", 3, dim=-2):
+            ppl.sample("u", Normal(0.0, 1.0))
+
+    with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(0)):
+        m()
+    assert tr.sites["u"]["value"].shape == (3, 1)
+
+
+def test_plate_dim_errors():
+    with pytest.raises(ValueError, match="negative"):
+        ppl.plate("a", 3, dim=0)
+
+    def m():
+        with ppl.plate("a", 3, dim=-1), ppl.plate("b", 4, dim=-1):
+            ppl.sample("u", Normal(0.0, 1.0))
+
+    with pytest.raises(ValueError, match="already used"):
+        with ppl.trace(), ppl.seed(jax.random.PRNGKey(0)):
+            m()
+
+
+def test_plate_counts_scalar_value_per_element():
+    """A scalar value substituted under a plate contributes size× its
+    density — numpyro's independence accounting."""
+    import scipy.stats as st
+
+    def m():
+        with ppl.plate("g", 5):
+            ppl.sample("z", Normal(0.2, 0.7))
+
+    with ppl.trace() as tr, ppl.substitute({"z": 0.3}):
+        m()
+    lp = float(jnp.sum(tr.sites["z"]["dist"].log_prob(
+        tr.sites["z"]["value"])))
+    assert lp == pytest.approx(5 * st.norm(0.2, 0.7).logpdf(0.3), rel=1e-5)
+
+
+def test_plate_broadcasts_group_params():
+    """A dist whose params already carry the plate shape is left at the
+    broadcast shape (no double expansion)."""
+    def m():
+        with ppl.plate("g", 4):
+            mu = ppl.sample("mu", Normal(0.0, 3.0))          # (4,)
+            with ppl.plate("n", 6):
+                ppl.sample("x", Normal(mu, 1.0))             # (6, 4)
+
+    with ppl.trace() as tr, ppl.seed(jax.random.PRNGKey(1)):
+        m()
+    assert tr.sites["mu"]["value"].shape == (4,)
+    assert tr.sites["x"]["value"].shape == (6, 4)
+
+
+def test_plated_hierarchical_end_to_end():
+    """Plated hierarchical Gaussian through the full MUSE pipeline vs
+    the conjugate closed form (MUSE exact for linear-Gaussian models)."""
+    G, N, tau, sig = 4, 8, 0.7, 0.5
+
+    def m():
+        th = ppl.sample("theta", Normal(0.0, 3.0))
+        with ppl.plate("groups", G):
+            z = ppl.sample("z", Normal(th, tau))
+            with ppl.plate("items", N):
+                ppl.sample("x", Normal(z, sig))
+
+    tmp = ppl.PPLMuseProblem(m, observed={"x": jnp.zeros((N, G))})
+    x_obs, _ = tmp.sample_x_z(jax.random.PRNGKey(5), {"theta": 0.4})
+    p = ppl.PPLMuseProblem(m, observed=x_obs)
+    assert check_self_consistency(p, {"theta": 0.4})
+    r = muse(p, {"theta": 1.0}, nsims=200, maxsteps=30, theta_rtol=1e-4,
+             get_covariance=True, key=jax.random.PRNGKey(0))
+    xbar = float(np.mean(np.asarray(x_obs["x"])))
+    prec_like = G / (tau ** 2 + sig ** 2 / N)
+    prec = prec_like + 1.0 / 9.0
+    theta_post = prec_like * xbar / prec
+    sigma_post = prec ** -0.5
+    mc = 3 * sigma_post / np.sqrt(200)
+    assert abs(float(r.theta[0]) - theta_post) < 3 * mc + 1e-3
+    assert float(r.sigma[0]) == pytest.approx(sigma_post, rel=0.3)
