@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(n_grid, nsims, seed=0, model="grf", noise=None):
+def build(n_grid, nsims, seed=0, model="grf", noise=None, nbands=12):
     from muse_tpu.solver.compiled import CompiledProblem
     from muse_tpu.theta import ThetaSpec
     from muse_tpu.utils.keys import as_key, sim_keys
@@ -52,6 +52,15 @@ def build(n_grid, nsims, seed=0, model="grf", noise=None):
     elif model == "lensing":
         from muse_tpu.models.lensing import lensing_problem
         prob = lensing_problem(n=n_grid, data_key=jax.random.PRNGKey(42))
+    elif model == "bandpower":
+        # many-band vector θ (nθ ≫ 1, the pmap_over=:jac regime the
+        # reference special-cases at src/muse.jl:329-333): per-band
+        # log-amplitudes of the packed-spectral GRF — a muse iteration
+        # runs ZERO FFT-sized kernels at any nbands (models/bandpower.py)
+        from muse_tpu.models.bandpower import bandpower_problem
+        prob = bandpower_problem(n=n_grid, nbands=nbands,
+                                 data_key=jax.random.PRNGKey(42))
+        theta_example = jnp.zeros(nbands)
     elif model == "funnel":
         from muse_tpu.models.funnel import funnel_problem
         prob = funnel_problem(n_grid, data_key=jax.random.PRNGKey(42))
@@ -77,10 +86,10 @@ def build(n_grid, nsims, seed=0, model="grf", noise=None):
         theta_example = {"theta": 0.0}
     else:
         raise ValueError(model)
-    if model != "ppl":
+    if model not in ("ppl", "bandpower"):
         theta_example = 0.0
     spec = ThetaSpec.from_example(theta_example)
-    th0 = spec.flatten(0.0)
+    th0 = spec.flatten(theta_example if model == "bandpower" else 0.0)
     comp = CompiledProblem(prob, spec, th0)
 
     key = as_key(seed)
@@ -93,27 +102,48 @@ def build(n_grid, nsims, seed=0, model="grf", noise=None):
     return comp, th, keys_all, Z, lane_ids, atol
 
 
-def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3):
+def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3,
+              max_batch=None):
     """Median of per-call walls, every output blocked.
 
     Blocking the WHOLE output (not one leaf) and taking the median of
     individual calls guards against two measurement hazards seen on the
     tunneled TPU runtime: async dispatch returning before the program
     ran (one observed run timed 0.1 ms/call — a pure-dispatch artifact),
-    and one-off hiccups after a worker restart."""
-    out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)  # compile
-    jax.block_until_ready(out)
+    and one-off hiccups after a worker restart.
+
+    ``max_batch`` times the iteration as the solver would actually run
+    it under that chunk width (muse_fit's chunking): lanes are split
+    into width-``max_batch`` chunks (last one padded) and one
+    "iteration" is the serial sum over chunks.  Used where batching
+    LOSES to small widths (the FFT-saturated 1024² regime) or where a
+    width is routed around by value-integrity certification
+    (solver/certify.py — pick a width from the certified-width table
+    in BENCHMARKS.md)."""
+    n = keys_all.shape[0]
+    if max_batch is None or max_batch >= n:
+        chunks = [(keys_all, Z, lane_ids)]
+    else:
+        from muse_tpu.utils.fft_check import pad_lanes_to
+        w = max_batch
+        chunks = [(pad_lanes_to(keys_all[i:i + w], w),
+                   pad_lanes_to(Z[i:i + w], w),
+                   pad_lanes_to(lane_ids[i:i + w], w))
+                  for i in range(0, n, w)]
+    for kc, zc, lc in chunks:                       # compile + warm
+        jax.block_until_ready(comp.muse_step(th, th, kc, zc, lc, atol))
     walls = []
     for _ in range(max(reps, 3)):
         t0 = time.perf_counter()
-        out = comp.muse_step(th, th, keys_all, Z, lane_ids, atol)
-        jax.block_until_ready(out)
+        for kc, zc, lc in chunks:
+            out = comp.muse_step(th, th, kc, zc, lc, atol)
+            jax.block_until_ready(out)
         walls.append(time.perf_counter() - t0)
     walls.sort()
     return walls[len(walls) // 2]
 
 
-def time_sequential_baseline(n_grid, model, nlanes=8, reps=3):
+def time_sequential_baseline(n_grid, model, nlanes=8, reps=3, nbands=12):
     """Reference execution model on the same chip: a genuine one-sim-at-a-
     time loop (the per-sim Distributed-worker schedule, src/muse.jl:169-176).
 
@@ -124,7 +154,8 @@ def time_sequential_baseline(n_grid, model, nlanes=8, reps=3):
     smallest schedulable unit, charged entirely to one sim.
     """
     comp, th, keys_all, Z, lane_ids, atol = build(n_grid, nlanes,
-                                                  model=model)
+                                                  model=model,
+                                                  nbands=nbands)
     # single-lane views: lane_id=1 so every run is a sim lane (not data)
     one = jnp.ones((1,), lane_ids.dtype)
     ks = [keys_all[i:i + 1] for i in range(1, nlanes + 1)]
@@ -151,7 +182,12 @@ def main():
     ap.add_argument("--nsims", type=int, default=100)
     ap.add_argument("--model", default="grf",
                     choices=["grf", "grf-pixel", "lensing", "funnel",
-                             "ppl"])
+                             "ppl", "bandpower"])
+    ap.add_argument("--nbands", type=int, default=12,
+                    help="θ components for --model bandpower")
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="time the iteration chunked at this lane width "
+                         "(the solver's max_batch execution model)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline-lanes", type=int, default=8,
                     help="distinct sims measured one-at-a-time for the "
@@ -161,14 +197,17 @@ def main():
         args.grid, args.nsims = 128, 16
 
     comp, th, keys_all, Z, lane_ids, atol = build(args.grid, args.nsims,
-                                                  model=args.model)
+                                                  model=args.model,
+                                                  nbands=args.nbands)
 
-    batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol)
+    batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
+                          max_batch=args.max_batch)
 
     # Honest sequential baseline: a real one-sim-at-a-time loop over
     # ≥8 distinct sims, ≥3 passes, spread recorded (VERDICT r1 item 10).
     seq_one, seq_spread = time_sequential_baseline(
-        args.grid, args.model, nlanes=max(8, args.baseline_lanes))
+        args.grid, args.model, nlanes=max(8, args.baseline_lanes),
+        nbands=args.nbands)
 
     # physical floor: the batched step contains >= one sim's serial work,
     # so batched < per-sim wall means the measurement was an artifact
@@ -178,7 +217,7 @@ def main():
     floor_violation = False
     if batched_s < seq_one:
         batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
-                              reps=5)
+                              reps=5, max_batch=args.max_batch)
         if batched_s < seq_one:
             floor_violation = True
             batched_s = seq_one
@@ -195,6 +234,10 @@ def main():
         "baseline_per_sim_s": round(seq_one, 4),
         "baseline_spread": round(seq_spread, 3),
     }
+    if args.max_batch is not None:
+        result["max_batch"] = args.max_batch
+    if args.model == "bandpower":
+        result["nbands"] = args.nbands
     if floor_violation:
         result["floor_violation"] = True   # batched clamped to the floor
     print(json.dumps(result))

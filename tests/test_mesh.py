@@ -238,3 +238,30 @@ def test_vector_theta_sharded_matches_single_device():
     get_J(rjm, p, jnp.zeros(2), key=key, nsims=8, mesh=make_sims_mesh())
     np.testing.assert_allclose(rjm.J, rj0.J, rtol=1e-3)
     assert np.asarray(rjm.J).shape == (2, 2)
+
+
+def test_bandpower_sharded_matches_single_device():
+    """Many-band vector θ (nbands=8 ≥ nsims) under GSPMD — the
+    ``pmap_over=:jac`` regime (src/muse.jl:329-333): the FD-H program
+    fans 8 θ-columns × stencil × sims into one lane batch, so the
+    sharded reshape must keep (sim, column, offset) untangled.  Pins
+    muse + J + FD-H parity with the single-device run at nbands=8."""
+    from muse_tpu.models.bandpower import bandpower_problem
+    key = jax.random.PRNGKey(23)
+    p = bandpower_problem(n=16, nbands=8, data_key=jax.random.PRNGKey(42))
+    th0 = jnp.zeros(8)
+    mesh = make_sims_mesh()
+    r0 = muse(p, th0, nsims=6, maxsteps=3, key=key)
+    rm = muse(p, th0, nsims=6, maxsteps=3, key=key, mesh=mesh)
+    np.testing.assert_allclose(rm.theta, r0.theta, rtol=1e-4, atol=1e-4)
+    rj0, rjm = MuseResult(), MuseResult()
+    get_J(rj0, p, th0, key=key, nsims=8)
+    get_J(rjm, p, th0, key=key, nsims=8, mesh=mesh)
+    np.testing.assert_allclose(rjm.J, rj0.J, rtol=1e-3, atol=1e-8)
+    assert np.asarray(rjm.J).shape == (8, 8)
+    rh0, rhm = MuseResult(), MuseResult()
+    get_H(rh0, p, th0, key=key, nsims=3, step=1e-3)
+    get_H(rhm, p, th0, key=key, nsims=3, step=1e-3, mesh=mesh)
+    scale = np.max(np.abs(np.asarray(rh0.H)))
+    np.testing.assert_allclose(np.asarray(rhm.H), np.asarray(rh0.H),
+                               atol=1e-3 * scale)
