@@ -54,42 +54,63 @@ class _State(NamedTuple):
     Y: jnp.ndarray            # (m, B, N) grad-diff history
     rho: jnp.ndarray          # (m, B) 1/(s·y)
     valid: jnp.ndarray        # (m, B) bool: slot holds a usable pair
-    head: jnp.ndarray         # ()  int32 circular-buffer write index
+    head: jnp.ndarray         # (B,) int32 per-lane circular-buffer write index
     k: jnp.ndarray            # ()  int32 global iteration
     converged: jnp.ndarray    # (B,)
     failed: jnp.ndarray       # (B,)
     iters: jnp.ndarray        # (B,) per-lane iterations actually taken
 
 
+def _take_slot(A, idx):
+    """Per-lane slot gather: ``A`` is ``(m, B, ...)``, ``idx`` is ``(B,)``
+    per-lane slot indices → ``(B, ...)`` rows ``A[idx[b], b]``.
+
+    A lane's history lives in its own circular buffer position (per-lane
+    ``head``), so the two-loop recursion must gather a *different* slot per
+    lane.  ``take_along_axis`` over the leading (slot) axis keeps each
+    gathered row a contiguous ``(N,)`` vector — a cheap dynamic-gather for
+    XLA (no transpose, no scalarization)."""
+    ix = idx.reshape((1,) + idx.shape + (1,) * (A.ndim - 2))
+    return jnp.take_along_axis(A, ix, axis=0)[0]
+
+
 def _two_loop(g, S, Y, rho, valid, head, m):
-    """Batched L-BFGS two-loop recursion → approximate -H⁻¹g direction."""
-    B = g.shape[0]
+    """Batched L-BFGS two-loop recursion → approximate -H⁻¹g direction.
+
+    ``head`` is per-lane ``(B,)``: each lane advances its write index only
+    when IT stores a pair, so recency order (newest→oldest, the order the
+    recursion requires for true L-BFGS semantics) is exact per lane even
+    when lanes store raggedly (curvature-skips, frozen lanes)."""
 
     def bwd(j, carry):
         q, alphas = carry
-        idx = (head - 1 - j) % m
-        v = valid[idx]                                   # (B,)
-        a = rho[idx] * jnp.sum(S[idx] * q, axis=-1)      # (B,)
+        idx = (head - 1 - j) % m                         # (B,) per-lane
+        v = _take_slot(valid, idx)                       # (B,)
+        Sj = _take_slot(S, idx)                          # (B, N)
+        a = _take_slot(rho, idx) * jnp.sum(Sj * q, axis=-1)
         a = jnp.where(v, a, 0.0)
-        q = q - (a * v)[:, None] * Y[idx]
+        q = q - (a * v)[:, None] * _take_slot(Y, idx)
         return q, alphas.at[j].set(a)
 
+    B = g.shape[0]
     q, alphas = lax.fori_loop(0, m, bwd, (g, jnp.zeros((m, B), g.dtype)))
 
     # γ = s·y / y·y of the newest valid pair (per lane); identity fallback.
     newest = (head - 1) % m
-    sy = jnp.sum(S[newest] * Y[newest], axis=-1)
-    yy = jnp.sum(Y[newest] * Y[newest], axis=-1)
-    gamma = jnp.where(valid[newest] & (yy > 0), sy / jnp.maximum(yy, 1e-30), 1.0)
+    Sn, Yn = _take_slot(S, newest), _take_slot(Y, newest)
+    sy = jnp.sum(Sn * Yn, axis=-1)
+    yy = jnp.sum(Yn * Yn, axis=-1)
+    gamma = jnp.where(_take_slot(valid, newest) & (yy > 0),
+                      sy / jnp.maximum(yy, 1e-30), 1.0)
     r = gamma[:, None] * q
 
     def fwd(j_rev, r):
         j = m - 1 - j_rev
         idx = (head - 1 - j) % m
-        v = valid[idx]
-        b = rho[idx] * jnp.sum(Y[idx] * r, axis=-1)
+        v = _take_slot(valid, idx)
+        b = _take_slot(rho, idx) * jnp.sum(_take_slot(Y, idx) * r, axis=-1)
         b = jnp.where(v, b, 0.0)
-        return r + ((alphas[j] - b) * v)[:, None] * S[idx]
+        return r + ((alphas[j] - b) * v)[:, None] * _take_slot(S, idx)
 
     r = lax.fori_loop(0, m, fwd, r)
     return -r
@@ -131,7 +152,7 @@ def batched_lbfgs(
         S=jnp.zeros((m, B, N), dtype), Y=jnp.zeros((m, B, N), dtype),
         rho=jnp.zeros((m, B), dtype),
         valid=jnp.zeros((m, B), bool),
-        head=jnp.zeros((), jnp.int32),
+        head=jnp.zeros((B,), jnp.int32),
         k=jnp.zeros((), jnp.int32),
         converged=conv0, failed=bad0,
         iters=jnp.zeros((B,), jnp.int32),
@@ -187,18 +208,24 @@ def batched_lbfgs(
         f1 = jnp.where(step_ok, f_new, st.f)
         g1 = jnp.where(step_ok[:, None], g_new, st.g)
 
-        # --- curvature-checked history update (masked circular buffer) ---
+        # --- curvature-checked history update (masked circular buffer,
+        # per-lane write index: a lane only advances ITS head when IT
+        # stores, so each lane's buffer is a true chronological ring) ---
         s = z1 - st.z
         y = g1 - st.g
         sy = jnp.sum(s * y, axis=-1)
         store = step_ok & (sy > 1e-10 * jnp.sum(y * y, axis=-1))
-        slot = st.head % m
-        S = st.S.at[slot].set(jnp.where(store[:, None], s, st.S[slot]))
-        Y = st.Y.at[slot].set(jnp.where(store[:, None], y, st.Y[slot]))
-        rho = st.rho.at[slot].set(
-            jnp.where(store, 1.0 / jnp.maximum(sy, 1e-30), st.rho[slot]))
-        valid = st.valid.at[slot].set(
-            jnp.where(store, True, st.valid[slot]))
+        slot = st.head % m                                        # (B,)
+        lanes = jnp.arange(B)
+        S = st.S.at[slot, lanes].set(
+            jnp.where(store[:, None], s, _take_slot(st.S, slot)))
+        Y = st.Y.at[slot, lanes].set(
+            jnp.where(store[:, None], y, _take_slot(st.Y, slot)))
+        rho = st.rho.at[slot, lanes].set(
+            jnp.where(store, 1.0 / jnp.maximum(sy, 1e-30),
+                      _take_slot(st.rho, slot)))
+        valid = st.valid.at[slot, lanes].set(
+            _take_slot(st.valid, slot) | store)
 
         conv = st.converged | (active & (jnp.max(jnp.abs(g1), axis=-1) < g_atol))
         # A lane whose line search exhausted all trials without acceptance
@@ -208,7 +235,7 @@ def batched_lbfgs(
 
         return _State(
             z=z1, f=f1, g=g1, S=S, Y=Y, rho=rho, valid=valid,
-            head=st.head + 1, k=st.k + 1,
+            head=st.head + store.astype(jnp.int32), k=st.k + 1,
             converged=conv, failed=failed,
             iters=st.iters + active.astype(jnp.int32),
         )
