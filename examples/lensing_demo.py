@@ -68,6 +68,14 @@ def main():
     # diverged on its first draw (θ walked to 3.5 in two steps off a
     # 30×-underestimated slope), while the robust branch recovers θ to
     # within ~1σ (BENCHMARKS.md "Lensing σθ calibration at 256²").
+    # theta_rtol 3e-3, not the reference's 1e-1 default: the convergence
+    # metric is σ-scaled (√(−Δθᵀ H⁻¹_post Δθ) ≈ |Δθ|·σ_post), and with
+    # this family's damped+clamped steps (|Δθ| ~ 0.03-0.07 early) and
+    # σ_post ~ 0.3-0.5, a 3e-2 tolerance fires after 2-4 iterations while
+    # θ is still marching: the round-4 repeated-realization study measured
+    # θ̂ stalled at 0.03-0.08 against truth 0.3 (bias/SE ≈ −10) under
+    # 3e-2, vs clean convergence (g_post 1.7 → 0.01 over 8 iterations)
+    # with the tolerance out of the way.
     big = args.n >= 256
     atol = 3e-3 if big else 1e-2
     t0 = time.perf_counter()
@@ -76,7 +84,7 @@ def main():
              alpha=(0.4 if not big else 0.3),
              Hinv_update=("sims" if not big else "broyden"),
              regularize=(None if not big else clamp_step),
-             grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-2),
+             grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-3),
              max_batch=(None if args.n < 128 else (33 if not big else 9)),
              key=jax.random.PRNGKey(1), progress=args.progress)
     t_fit = time.perf_counter() - t0

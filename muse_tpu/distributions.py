@@ -93,6 +93,15 @@ class Normal(Distribution):
     def shape(self):
         return jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
 
+    @property
+    def mean(self):
+        """Distributions.jl ``mean(result.dist)`` parity (docs/index.md)."""
+        return self.loc
+
+    @property
+    def stddev(self):
+        return self.scale
+
     def sample(self, key, shape=None):
         shape = self.shape if shape is None else tuple(shape)
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))

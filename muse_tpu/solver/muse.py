@@ -412,29 +412,49 @@ def muse_fit(
 
 
 def _theta_converged(history, theta_rtol: float, i: int) -> bool:
-    """The θ_rtol convergence test (src/muse.jl:163-165), guarded.
+    """The θ_rtol convergence test (src/muse.jl:163-165), doubly guarded.
 
-    The reference's metric √(−Δθᵀ H⁻¹_post Δθ) assumes H⁻¹_post is
-    negative definite.  The sims-variance H⁻¹ is ND by construction, but
-    a Broyden replay from history (``Hinv_update="broyden"``) can drift
-    off the cone — the raw formula then clamps a NEGATIVE metric to 0 and
-    silently declares convergence on an arbitrary step.  Guard: when the
-    quadratic form has the wrong sign for a nonzero step, warn and fall
-    back to the magnitude |Δθᵀ H⁻¹_post Δθ| — a scale-matched step
-    measure that cannot manufacture a spurious 0."""
+    Guard 1 — sign: the reference's metric √(−Δθᵀ H⁻¹_post Δθ) assumes
+    H⁻¹_post is negative definite.  The sims-variance H⁻¹ is ND by
+    construction, but a Broyden replay from history
+    (``Hinv_update="broyden"``) can drift off the cone — the raw formula
+    then clamps a NEGATIVE metric to 0 and silently declares convergence
+    on an arbitrary step.  When the quadratic form has the wrong sign for
+    a nonzero step, warn and fall back to the magnitude |Δθᵀ H⁻¹ Δθ| — a
+    scale-matched step measure that cannot manufacture a spurious 0.
+
+    Guard 2 — consecutiveness (deliberate deviation from the reference's
+    single-step test): the metric is a σ-scaled STEP size, so one small
+    damped step far from the root passes it even while θ is still
+    marching.  Measured on the reference's own canonical noisy funnel
+    (D=512, θ₀=1): the single-step rule at the default θ_rtol=1e-1
+    stopped at θ̂=+0.199 where the exact marginal MLE is −0.125 — a
+    silent 2.5σ bias; the 256² lensing study stalled the same way at
+    θ ≈ 0.08 against truth 0.3.  Requiring the LAST TWO steps to both
+    pass costs at most one extra iteration in genuinely converged runs
+    (near a root, consecutive damped steps shrink geometrically, so the
+    previous step also passes) and eliminates the first-small-step
+    artifact."""
     import warnings
 
-    dth_t = history[-1]["theta_t"] - history[-2]["theta_t"]
-    metric = float(-dth_t @ history[-1]["Hinv_post_t"] @ dth_t)
-    if metric <= 0.0 and float(dth_t @ dth_t) > 0.0:
-        warnings.warn(
-            f"MUSE iteration {i}: H⁻¹_post is not negative definite along "
-            f"the last step (Δθᵀ H⁻¹ Δθ = {-metric:.3g} ≥ 0) — likely "
-            "Broyden-replay drift. Using |Δθᵀ H⁻¹ Δθ| for the θ_rtol "
-            "test instead of silently declaring convergence; consider "
-            'Hinv_update="sims" or a smaller broyden_memory.')
-        metric = abs(metric)
-    return math.sqrt(metric) < theta_rtol
+    def step_metric(h_prev, h_curr):
+        dth_t = h_curr["theta_t"] - h_prev["theta_t"]
+        metric = float(-dth_t @ h_curr["Hinv_post_t"] @ dth_t)
+        if metric <= 0.0 and float(dth_t @ dth_t) > 0.0:
+            warnings.warn(
+                f"MUSE iteration {i}: H⁻¹_post is not negative definite "
+                f"along the last step (Δθᵀ H⁻¹ Δθ = {-metric:.3g} ≥ 0) — "
+                "likely Broyden-replay drift. Using |Δθᵀ H⁻¹ Δθ| for the "
+                "θ_rtol test instead of silently declaring convergence; "
+                'consider Hinv_update="sims" or a smaller broyden_memory.')
+            metric = abs(metric)
+        return math.sqrt(metric)
+
+    if step_metric(history[-2], history[-1]) >= theta_rtol:
+        return False
+    if len(history) < 3:
+        return False       # one qualifying step is not convergence yet
+    return step_metric(history[-3], history[-2]) < theta_rtol
 
 
 def spec_flatten_z(comp: CompiledProblem, z) -> np.ndarray:

@@ -46,9 +46,12 @@ def run_one(rep, n, nsims, theta_true):
 
     t0 = time.perf_counter()
     res = MuseResult()
+    # theta_rtol 3e-3 (shipped config, examples/lensing_demo.py): the
+    # σ-scaled metric with 3e-2 stopped these fits 2-4 iterations in,
+    # stalled at θ ≈ 0.03-0.08 against truth 0.3 (round-4 study).
     muse_fit(res, prob, 0.0, nsims=nsims, z0=prob.suggested_z0,
              alpha=0.3, Hinv_update="broyden", regularize=clamp_step,
-             grad_z_atol=3e-3, theta_rtol=3e-2, max_batch=9,
+             grad_z_atol=3e-3, theta_rtol=3e-3, max_batch=9,
              key=jax.random.PRNGKey(1000 + rep))
     get_J(res, prob, nsims=nsims, grad_z_atol=3e-3, max_batch=9,
           warn_reuse=False, key=jax.random.PRNGKey(1000 + rep))

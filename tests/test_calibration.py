@@ -74,7 +74,12 @@ def test_lensing_coverage_and_unbiasedness():
         muse_fit(res, prob, 0.3, nsims=16, theta_rtol=3e-2,
                  Hinv_update="broyden", key=key)
         get_J(res, prob, nsims=16, key=key)
-        get_H(res, prob, nsims=4, implicit_diff=True,
+        # 8 H-sims, not 4: with H from 4 sims the z statistic is t₄-ish
+        # (std ≈ 1.4, heavy tails) and the std(z) gate below flakes on
+        # kernel-level trajectory changes (measured: one realization's H
+        # moved 138→108→79 across 4-sim estimates while θ̂ was identical
+        # to 4 decimals; at 8 sims its z settled from -4.97 to -2.82).
+        get_H(res, prob, nsims=8, implicit_diff=True,
               implicit_diff_precond=prob.suggested_h_precond, key=key)
         zs.append(float(res.theta[0] / res.sigma[0]))
     # R=10: P(>3 misses at true 95% coverage) ≈ 0.1%

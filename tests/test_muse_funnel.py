@@ -489,7 +489,11 @@ def test_convergence_guard_non_nd_hinv():
     """A Hinv_post that has lost negative-definiteness (possible under
     Broyden replay) must NOT silently declare convergence: the raw
     metric -ΔθᵀH⁻¹Δθ clamps negative values to 0 — the guard warns and
-    falls back to the magnitude (VERDICT r3 weak #6)."""
+    falls back to the magnitude (VERDICT r3 weak #6).  Convergence also
+    requires the last TWO steps to pass (the consecutiveness guard: one
+    small damped step far from the root is not convergence — measured
+    stopping at θ̂=+0.199 vs exact MLE −0.125 on the canonical funnel
+    under the reference's single-step rule)."""
     import warnings
 
     from muse_tpu.solver.muse import _theta_converged
@@ -507,18 +511,34 @@ def test_convergence_guard_non_nd_hinv():
         assert not _theta_converged(hist, 0.5, i=3)
         assert any("negative definite" in str(wi.message) for wi in w)
 
-    # healthy ND Hinv_post keeps the reference semantics, no warning
-    hist[-1]["Hinv_post_t"] = -np.eye(2)
+    # healthy ND Hinv_post, 3-entry history with two sub-tolerance steps:
+    # the reference semantics (converged), no warning
+    hist3 = [
+        {"theta_t": np.zeros(2)},
+        {"theta_t": dth, "Hinv_post_t": -np.eye(2)},
+        {"theta_t": dth + np.array([0.9, 0.0]), "Hinv_post_t": -np.eye(2)},
+    ]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert _theta_converged(hist, 1.5, i=3)     # sqrt(1) < 1.5
-        assert not _theta_converged(hist, 0.5, i=3)
+        assert _theta_converged(hist3, 1.5, i=4)    # steps 1.0, 0.9 < 1.5
+        assert not _theta_converged(hist3, 0.95, i=4)  # older step 1.0 fails
         assert not w
 
-    # zero step is genuine convergence, not an ND violation
-    hist[-1]["theta_t"] = np.zeros(2)
-    hist[-1]["Hinv_post_t"] = np.eye(2)
+    # consecutiveness: a single small step after a big one must NOT stop
+    hist3[-1]["theta_t"] = dth + np.array([0.1, 0.0])
+    assert not _theta_converged(hist3, 0.5, i=4)    # steps 1.0, 0.1
+    # ...and with only one (small) step on record, keep iterating
+    assert not _theta_converged(hist3[1:], 0.5, i=3)
+
+    # zero final step alone is not yet convergence under the two-step
+    # rule (the next iteration repeats it and stops); two zero steps are
+    hist0 = [
+        {"theta_t": np.zeros(2)},
+        {"theta_t": np.zeros(2), "Hinv_post_t": np.eye(2)},
+        {"theta_t": np.zeros(2), "Hinv_post_t": np.eye(2)},
+    ]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert _theta_converged(hist, 0.5, i=3)
+        assert _theta_converged(hist0, 0.5, i=4)
+        assert not _theta_converged(hist0[1:], 0.5, i=3)
         assert not w
