@@ -91,10 +91,17 @@ def main():
 
     # score reuse from the fit is the intended design here (see
     # BENCHMARKS.md "Which J is the right one") — don't warn about it
+    # skip_errors: a straggler MAP in the fit's final iteration would
+    # otherwise feed an unconverged score into J (measured: one 256²
+    # lane inflated σ 7×); the guard drops flagged scores with a warning
     get_J(res, prob, nsims=args.nsims, grad_z_atol=atol,
           max_batch=(9 if big else None), warn_reuse=False,
-          key=jax.random.PRNGKey(1), progress=args.progress)
-    get_H(res, prob, nsims=max(4, args.nsims // 8), implicit_diff=True,
+          skip_errors=True, key=jax.random.PRNGKey(1),
+          progress=args.progress)
+    # >= 8 H-sims: with 4, the scalar H estimate swings by tens of
+    # percent realization-to-realization (measured 138/108/79 on one
+    # dataset) and sigma inherits the noise (J/H-ratio warnings).
+    get_H(res, prob, nsims=max(8, args.nsims // 8), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
           implicit_fit_atol=(1e-2 if not big else 1e-3),
           max_batch=(9 if big else None),

@@ -639,7 +639,8 @@ def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
                       sigma_noise: float = 1.0, gamma: float = 2.0,
                       k0: float = 1.0, theta_true: float = 0.0,
                       data_key=None, x_obs=None,
-                      prior_std: float = 3.0) -> SimpleMuseProblem:
+                      prior_std: float = 3.0,
+                      use_pallas: bool = True) -> SimpleMuseProblem:
     """Non-whitened GRF variant: the latent IS the field z ~ N(0, F⁻¹CF).
 
     Same marginal model for x as :func:`grf_problem` (z = S_θ u), so both
@@ -655,7 +656,8 @@ def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     the whitened parameterization (module docstring).
     """
     from ..ops.pallas_grf import (pack_rfft2, pack_weights,
-                                  spectrum_quadform)
+                                  spectrum_quadform,
+                                  spectrum_quadform_reference)
 
     cfg = config or GrfConfig(n, sigma_noise, gamma, k0, False)
     n = cfg.n
@@ -668,10 +670,16 @@ def grf_field_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
         x = z + cfg.sigma_noise * jax.random.normal(k2, (n, n))
         return x, z
 
+    # use_pallas=False routes the quadform through the plain-XLA
+    # einsum — the end-to-end A/B knob behind BENCHMARKS.md's
+    # "Pallas fused spectrum kernels" table
+    _quadform = (spectrum_quadform if use_pallas
+                 else spectrum_quadform_reference)
+
     def log_like(x, z, theta):
         C = cfg.spectrum(theta)
         invCw2 = pack_weights(cfg.herm_weight / C)
-        quad = spectrum_quadform(pack_rfft2(z)[None], invCw2)[0] / n ** 2
+        quad = _quadform(pack_rfft2(z)[None], invCw2)[0] / n ** 2
         logdet = jnp.sum(cfg.herm_weight * jnp.log(C))
         r = x - z
         return -0.5 * (jnp.sum(r * r) / s2 + quad + logdet)

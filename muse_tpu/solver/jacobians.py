@@ -352,6 +352,31 @@ def get_J(
     nsims_existing = len(result.gs)
     nsims_remaining = nsims - nsims_existing
 
+    # reliability mask for reused fit scores (muse_fit stores the final
+    # iteration's per-sim MAP convergence): an unconverged lane's score
+    # is computed at a non-stationary ẑ and can inflate J by orders of
+    # magnitude (measured: one straggler 256² lensing lane → J/H ≈ 38,
+    # σ 7× the realization scatter).
+    drop_reused = np.zeros(nsims_existing, bool)
+    gs_mask = result.metadata.get("gs_converged")
+    if nsims_existing and gs_mask is not None \
+            and len(gs_mask) == nsims_existing:
+        bad = ~np.asarray(gs_mask, bool)
+        if bad.any():
+            if skip_errors:
+                drop_reused = bad
+                warnings.warn(
+                    f"get_J: dropping {int(bad.sum())}/{nsims_existing} "
+                    "reused fit scores whose MAP solves had not converged "
+                    "(skip_errors=True; beyond-reference guard — the "
+                    "reference reuses them silently, src/muse.jl:231).")
+            else:
+                warnings.warn(
+                    f"get_J: {int(bad.sum())}/{nsims_existing} reused fit "
+                    "scores come from MAP solves that did not converge — "
+                    "J may be inflated. Pass skip_errors=True to drop "
+                    "them, or clear result.gs for a fresh estimate.")
+
     if nsims_existing and warn_reuse:
         # the reference's resume semantics (src/muse.jl:231,499-506): a
         # result that went through muse!/muse_fit already carries the
@@ -368,6 +393,7 @@ def get_J(
             "sims will run. Clear result.gs or use a fresh MuseResult for "
             "an independent re-estimate (reference resume semantics, "
             "src/muse.jl:499-506).")
+    drop_new = []
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
         n_dropped = n_nonconv = n_run = 0
@@ -389,11 +415,13 @@ def get_J(
                     chunk, c, th_dev, atol_dev, warm="true_z")
                 g_c = np.asarray(out["g"], np.float64)[:c]
                 failed_c = np.asarray(out["failed"])[:c]
+                nonconv_c = np.zeros(c, bool)
                 if "converged" in out:
                     # the reference emits this from inside every ẑ_at_θ
                     # call (src/interface.jl:168-171); aggregated below
-                    n_nonconv += int((~np.asarray(out["converged"])[:c]
-                                      & ~failed_c).sum())
+                    nonconv_c = (~np.asarray(out["converged"])[:c]
+                                 & ~failed_c)
+                    n_nonconv += int(nonconv_c.sum())
                 n_run += c
                 if failed_c.any():
                     if not skip_errors:
@@ -402,7 +430,13 @@ def get_J(
                             "failed; pass skip_errors=True to drop them.")
                     n_dropped += int(failed_c.sum())
                     g_c = g_c[~failed_c]
+                    nonconv_c = nonconv_c[~failed_c]
                 result.gs.extend(list(g_c))
+                # under skip_errors, unconverged scores are also excluded
+                # from the J estimate (kept in result.gs for CRN-exact
+                # resume) — same rationale as the reused-score guard above
+                drop_new.extend(list(nonconv_c if skip_errors
+                                     else np.zeros(len(g_c), bool)))
                 if checkpoint_file is not None:
                     result.save(checkpoint_file)
                 pbar.step(inc=c)
@@ -417,6 +451,16 @@ def get_J(
             warnings.warn(f"get_J: dropping {n_dropped} failed sims")
 
     gs = np.asarray(result.gs)
+    drop = np.concatenate([drop_reused,
+                           np.asarray(drop_new, bool)]) \
+        if (drop_reused.any() or any(drop_new)) else None
+    if drop is not None and len(drop) == len(gs):
+        if (~drop).sum() < 2:
+            raise RuntimeError(
+                "get_J: fewer than 2 reliable per-sim scores remain after "
+                "dropping unconverged/failed MAPs — rerun with a larger "
+                "nsims or looser grad_z_atol.")
+        gs = gs[~drop]
     result.J = (np.atleast_2d(np.var(gs, ddof=1)) if gs.shape[1] == 1
                 and gs.ndim == 2 else covariance_method(gs))
     finalize_result(result, comp)

@@ -390,6 +390,12 @@ def muse_fit(
             # running updates for early stop (src/muse.jl:230-232)
             result.theta = th_unreg
             result.gs = [gi for gi in g_sims]
+            # per-sim reliability of the stored scores: get_J's reuse path
+            # consults this so one straggler MAP in the final iteration
+            # cannot silently inflate J (measured: a single unconverged
+            # 256² lensing lane blew σ up 7× via J/H ≈ 38)
+            result.metadata["gs_converged"] = (
+                out["converged"][1:] & ~out["failed"][1:]).copy()
             result.time += t
 
             pbar.step(f"θ={_fmt(th_unreg)}  |g_post|={np.max(np.abs(g_post_t)):.3g}")

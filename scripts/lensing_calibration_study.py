@@ -54,8 +54,9 @@ def run_one(rep, n, nsims, theta_true):
              grad_z_atol=3e-3, theta_rtol=3e-3, max_batch=9,
              key=jax.random.PRNGKey(1000 + rep))
     get_J(res, prob, nsims=nsims, grad_z_atol=3e-3, max_batch=9,
-          warn_reuse=False, key=jax.random.PRNGKey(1000 + rep))
-    get_H(res, prob, nsims=max(4, nsims // 8), implicit_diff=True,
+          warn_reuse=False, skip_errors=True,
+          key=jax.random.PRNGKey(1000 + rep))
+    get_H(res, prob, nsims=max(8, nsims // 8), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
           implicit_fit_atol=1e-3, max_batch=9,
           key=jax.random.PRNGKey(1000 + rep))

@@ -542,3 +542,49 @@ def test_convergence_guard_non_nd_hinv():
         assert _theta_converged(hist0, 0.5, i=4)
         assert not _theta_converged(hist0[1:], 0.5, i=3)
         assert not w
+
+
+def test_get_j_drops_unconverged_reused_scores():
+    """One straggler MAP in the fit's final iteration must not silently
+    inflate J through get_J's score reuse (measured at 256² lensing:
+    a single unconverged lane → J/H ≈ 38, σ 7× the realization
+    scatter).  muse_fit stores a per-sim reliability mask; under
+    skip_errors=True get_J excludes flagged scores from J (keeping them
+    in result.gs for CRN-exact resume); without it, it warns."""
+    import warnings
+
+    from muse_tpu import MuseResult, get_J
+    from muse_tpu.models.funnel import funnel_problem
+    from muse_tpu.solver.muse import muse_fit
+
+    prob = funnel_problem(64, data_key=jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(3)
+    res = MuseResult()
+    muse_fit(res, prob, 0.5, nsims=12, maxsteps=4, key=key)
+    assert len(res.metadata["gs_converged"]) == 12
+    assert res.metadata["gs_converged"].all()
+
+    # poison one stored score and flag its MAP as unconverged
+    res.gs[-1] = res.gs[-1] + 1e4
+    res.metadata["gs_converged"][-1] = False
+
+    poisoned = MuseResult()
+    poisoned.__dict__.update({k: v for k, v in res.__dict__.items()})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_J(poisoned, prob, nsims=12, key=key, warn_reuse=False)
+        assert any("may be inflated" in str(wi.message) for wi in w)
+    J_poisoned = float(np.asarray(poisoned.J).ravel()[0])
+
+    clean = MuseResult()
+    clean.__dict__.update({k: v for k, v in res.__dict__.items()})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_J(clean, prob, nsims=12, key=key, warn_reuse=False,
+              skip_errors=True)
+        assert any("dropping" in str(wi.message) for wi in w)
+    J_clean = float(np.asarray(clean.J).ravel()[0])
+
+    # the poisoned score dominates the naive variance; the guard removes it
+    assert J_poisoned > 100 * J_clean, (J_poisoned, J_clean)
+    assert len(clean.gs) == 12          # resume record untouched
