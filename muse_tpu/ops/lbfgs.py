@@ -116,6 +116,51 @@ def _two_loop(g, S, Y, rho, valid, head, m):
     return -r
 
 
+def _two_loop_chrono(g, S, Y, rho, valid, head, m):
+    """Two-loop recursion for the GLOBAL-clock history layout.
+
+    ``head`` is a scalar: every iteration writes (or per-lane
+    invalidates) the same slot, so slot order IS time order for every
+    lane and plain static indexing suffices — no per-lane gathers.  The
+    caller must enforce the expiry contract: a lane that skips a store
+    has the overwritten slot's ``valid`` cleared (never left holding an
+    m-stale pair), which is what keeps ``(head-1) % m`` the true newest
+    for the γ scaling.  Used by ops/varpro.py, whose history rows are
+    field-sized (the per-lane-gather variant measured 41% slower on the
+    256² lensing iteration); :func:`batched_lbfgs` itself keeps the
+    exact per-lane head."""
+    B = g.shape[0]
+
+    def bwd(j, carry):
+        q, alphas = carry
+        idx = (head - 1 - j) % m
+        v = valid[idx]                                   # (B,)
+        a = rho[idx] * jnp.sum(S[idx] * q, axis=-1)      # (B,)
+        a = jnp.where(v, a, 0.0)
+        q = q - (a * v)[:, None] * Y[idx]
+        return q, alphas.at[j].set(a)
+
+    q, alphas = lax.fori_loop(0, m, bwd, (g, jnp.zeros((m, B), g.dtype)))
+
+    newest = (head - 1) % m
+    sy = jnp.sum(S[newest] * Y[newest], axis=-1)
+    yy = jnp.sum(Y[newest] * Y[newest], axis=-1)
+    gamma = jnp.where(valid[newest] & (yy > 0),
+                      sy / jnp.maximum(yy, 1e-30), 1.0)
+    r = gamma[:, None] * q
+
+    def fwd(j_rev, r):
+        j = m - 1 - j_rev
+        idx = (head - 1 - j) % m
+        v = valid[idx]
+        b = rho[idx] * jnp.sum(Y[idx] * r, axis=-1)
+        b = jnp.where(v, b, 0.0)
+        return r + ((alphas[j] - b) * v)[:, None] * S[idx]
+
+    r = lax.fori_loop(0, m, fwd, r)
+    return -r
+
+
 @partial(jax.jit, static_argnames=(
     "fn", "m", "max_iters", "max_ls", "c1"))
 def batched_lbfgs(

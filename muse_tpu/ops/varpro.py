@@ -217,12 +217,12 @@ def batched_varpro(
         U=Unl0, Z=Z0s, f=f0, g=g0, rsup=rsup0,
         S=jnp.zeros((m, B, Nnl), dtype), Y=jnp.zeros((m, B, Nnl), dtype),
         rho=jnp.zeros((m, B), dtype), valid=jnp.zeros((m, B), bool),
-        head=jnp.zeros((B,), jnp.int32), k=jnp.zeros((), jnp.int32),
+        head=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
         converged=conv0, failed=bad0,
         iters=jnp.zeros((B,), jnp.int32),
         inner_its=in0)
 
-    from .lbfgs import _take_slot, _two_loop
+    from .lbfgs import _two_loop_chrono
 
     def cond(st):
         return (st.k < max_outer) & ~jnp.all(st.converged | st.failed)
@@ -230,7 +230,8 @@ def batched_varpro(
     def body(st):
         active = ~(st.converged | st.failed)
 
-        d = _two_loop(st.g, st.S, st.Y, st.rho, st.valid, st.head, m)
+        d = _two_loop_chrono(st.g, st.S, st.Y, st.rho, st.valid,
+                             st.head, m)
         dg = jnp.sum(d * st.g, -1)
         descent = dg < 0
         d = jnp.where(descent[:, None], d, -st.g)
@@ -296,24 +297,30 @@ def batched_varpro(
         g1 = jnp.where(step_ok[:, None], g_new, st.g)
         bad = ~(jnp.isfinite(f1) & jnp.all(jnp.isfinite(g1), -1))
 
-        # masked circular-buffer curvature update with PER-LANE write
-        # index (as ops/lbfgs.py: exact per-lane recency under ragged
-        # stores — a lane only advances its head when IT stores)
+        # masked circular-buffer curvature update, GLOBAL clock with
+        # per-lane EXPIRY (chronological variant of ops/lbfgs.py's exact
+        # per-lane head): every iteration advances one shared slot, and a
+        # lane that skips the store has that slot INVALIDATED rather than
+        # keeping the m-iterations-stale pair — so slot order stays the
+        # time order for every lane (no stale-newest promotion) with no
+        # per-lane gathers in the two-loop.  Tradeoff vs the per-lane
+        # head: a skip costs the lane its oldest pair one step early
+        # (effective memory expires by global age).  Chosen here because
+        # this loop's state is field-sized — the per-lane-gather variant
+        # measured a 41% regression on the 256² lensing iteration
+        # (0.229 → 0.324 s/iter, BENCHMARKS.md) — while skips are rare
+        # for the smooth reduced objective.  ops/lbfgs.py (small-N
+        # problems) keeps the exact per-lane semantics.
         s = U1 - st.U
         y = g1 - st.g
         sy = jnp.sum(s * y, -1)
         store = step_ok & (sy > 1e-10 * jnp.sum(y * y, -1))
-        slot = st.head % m                                        # (B,)
-        lanes = jnp.arange(B)
-        S = st.S.at[slot, lanes].set(
-            jnp.where(store[:, None], s, _take_slot(st.S, slot)))
-        Y = st.Y.at[slot, lanes].set(
-            jnp.where(store[:, None], y, _take_slot(st.Y, slot)))
-        rho = st.rho.at[slot, lanes].set(
-            jnp.where(store, 1.0 / jnp.maximum(sy, 1e-30),
-                      _take_slot(st.rho, slot)))
-        valid = st.valid.at[slot, lanes].set(
-            _take_slot(st.valid, slot) | store)
+        slot = st.head % m
+        S = st.S.at[slot].set(jnp.where(store[:, None], s, st.S[slot]))
+        Y = st.Y.at[slot].set(jnp.where(store[:, None], y, st.Y[slot]))
+        rho = st.rho.at[slot].set(
+            jnp.where(store, 1.0 / jnp.maximum(sy, 1e-30), st.rho[slot]))
+        valid = st.valid.at[slot].set(store)
 
         conv = st.converged | (active & ~bad & (_sup(g1) < g_atol)
                                & (rs1 < g_atol))
@@ -322,7 +329,7 @@ def batched_varpro(
         return _St(
             U=U1, Z=Z1, f=f1, g=g1, rsup=rs1,
             S=S, Y=Y, rho=rho, valid=valid,
-            head=st.head + store.astype(jnp.int32), k=st.k + 1,
+            head=st.head + 1, k=st.k + 1,
             converged=conv, failed=failed,
             iters=st.iters + active.astype(jnp.int32),
             inner_its=st.inner_its + inner_used)
