@@ -85,7 +85,13 @@ def main():
              Hinv_update=("sims" if not big else "broyden"),
              regularize=(None if not big else clamp_step),
              grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-3),
-             max_batch=(None if args.n < 128 else (33 if not big else 9)),
+             # max_batch 3 at n >= 1024: the certified-width survey
+             # (BENCHMARKS.md) measured width 3 fastest per lane AND
+             # found widths 9/17 value-corrupted by the platform there —
+             # certification would catch and repair 9, but routing to a
+             # measured-good width avoids the detour entirely.
+             max_batch=(None if args.n < 128 else
+                        (33 if not big else (9 if args.n < 1024 else 3))),
              key=jax.random.PRNGKey(1), progress=args.progress)
     t_fit = time.perf_counter() - t0
 
@@ -94,8 +100,9 @@ def main():
     # skip_errors: a straggler MAP in the fit's final iteration would
     # otherwise feed an unconverged score into J (measured: one 256²
     # lane inflated σ 7×); the guard drops flagged scores with a warning
+    mb = (3 if args.n >= 1024 else 9) if big else None
     get_J(res, prob, nsims=args.nsims, grad_z_atol=atol,
-          max_batch=(9 if big else None), warn_reuse=False,
+          max_batch=mb, warn_reuse=False,
           skip_errors=True, key=jax.random.PRNGKey(1),
           progress=args.progress)
     # >= 8 H-sims: with 4, the scalar H estimate swings by tens of
@@ -104,7 +111,7 @@ def main():
     get_H(res, prob, nsims=max(8, args.nsims // 8), implicit_diff=True,
           implicit_diff_precond=prob.suggested_h_precond,
           implicit_fit_atol=(1e-2 if not big else 1e-3),
-          max_batch=(9 if big else None),
+          max_batch=mb,
           key=jax.random.PRNGKey(1), progress=args.progress)
     t_total = time.perf_counter() - t0
 
