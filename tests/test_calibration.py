@@ -104,8 +104,15 @@ def test_grf_vector_theta_mahalanobis_calibration():
                            data_key=jax.random.PRNGKey(4000 + i))
         key = jax.random.fold_in(jax.random.PRNGKey(11), i)
         res = MuseResult()
+        # Hinv_update="sims" (default): the Broyden replay drifts on
+        # correlated vector θ (the guarded non-ND case, solver/muse.py)
+        # — under the round-4 two-consecutive-steps stop one realization
+        # ran long enough for the drift to walk θ into score-variance
+        # collapse at iteration 18 (loudly, via the zero-variance
+        # RuntimeError). Broyden stays exercised by the funnel and
+        # 16² lensing coverage tests, where it is the shipped choice.
         muse_fit(res, prob, jax.numpy.array([0.3, 0.1]), nsims=24,
-                 theta_rtol=3e-2, Hinv_update="broyden", key=key)
+                 theta_rtol=3e-2, key=key)
         get_J(res, prob, nsims=24, key=key)
         get_H(res, prob, nsims=6, implicit_diff=True,
               implicit_diff_precond=prob.suggested_h_precond, key=key)
