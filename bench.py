@@ -196,6 +196,18 @@ def main():
     if args.quick:
         args.grid, args.nsims = 128, 16
 
+    if (args.model == "lensing" and args.grid >= 1024
+            and args.max_batch is None):
+        # bench times the RAW compiled step (no runtime certification),
+        # and the platform VALUE-CORRUPTS this program family at several
+        # 1024² batch widths (9/17 measured; BENCHMARKS.md certified-
+        # width survey) — timing a corrupt program records garbage work.
+        # Default to the certified-fastest width instead of B = nsims+1.
+        args.max_batch = 3
+        print("# lensing at >=1024^2: defaulting --max-batch 3 "
+              "(certified width; see BENCHMARKS.md)",
+              file=sys.stderr, flush=True)
+
     comp, th, keys_all, Z, lane_ids, atol = build(args.grid, args.nsims,
                                                   model=args.model,
                                                   nbands=args.nbands)

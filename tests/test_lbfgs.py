@@ -233,3 +233,62 @@ def test_ragged_store_matches_per_lane_reference():
             b, int(res.iterations[b]), it_ref)
         np.testing.assert_allclose(np.asarray(res.z[b]), z_ref,
                                    atol=2e-3, err_msg=f"lane {b}")
+
+
+def test_two_loop_chrono_matches_per_lane_reference():
+    """`_two_loop_chrono` (the global-clock layout ops/varpro.py uses)
+    must compute, per lane, the standard L-BFGS direction over that
+    lane's VALID pairs in chronological order — including after
+    wraparound with a lane whose latest slot was expired by a skipped
+    store (the contract that prevents stale-newest promotion)."""
+    import numpy as np
+
+    from muse_tpu.ops.lbfgs import _two_loop_chrono
+
+    m, B, N = 3, 2, 4
+    rng = np.random.default_rng(0)
+    S = rng.normal(size=(m, B, N)).astype(np.float32)
+    Y = (S + 0.3 * rng.normal(size=(m, B, N))).astype(np.float32)
+    sy = np.einsum("mbn,mbn->mb", S, Y)
+    sy = np.abs(sy) + 0.5                      # ensure positive curvature
+    Y = Y * (sy / np.einsum("mbn,mbn->mb", S, Y))[..., None]
+    rho = (1.0 / sy).astype(np.float32)
+    g = rng.normal(size=(B, N)).astype(np.float32)
+
+    head = 4                                    # wrapped: slot 0 is newest
+    valid = np.ones((m, B), bool)
+    valid[(head - 1) % m, 1] = False            # lane 1 skipped its last
+                                                # store → slot expired
+
+    d = np.asarray(_two_loop_chrono(
+        jnp.asarray(g), jnp.asarray(S), jnp.asarray(Y), jnp.asarray(rho),
+        jnp.asarray(valid), jnp.asarray(head, jnp.int32), m))
+
+    def ref_dir(pairs, gb, newest_valid):
+        q = gb.astype(np.float64).copy()
+        alphas = []
+        for (s, y, r) in reversed(pairs):       # newest → oldest
+            a = r * (s @ q)
+            q -= a * y
+            alphas.append(a)
+        # γ contract: scaled by the GLOBALLY newest slot's pair only if
+        # that slot is still valid for this lane; an expired newest slot
+        # falls back to identity scaling (conservative — the lane's last
+        # step carried no usable curvature information)
+        if newest_valid and pairs:
+            s_n, y_n, _ = pairs[-1]
+            q *= (s_n @ y_n) / (y_n @ y_n)
+        for (s, y, r), a in zip(pairs, reversed(alphas)):
+            q += (a - r * (y @ q)) * s
+        return -q
+
+    for b in range(B):
+        # chronological slot order under the global clock: oldest →
+        # newest is (head-m … head-1) mod m; drop invalid slots
+        order = [(head - m + j) % m for j in range(m)]
+        pairs = [(S[i, b].astype(np.float64), Y[i, b].astype(np.float64),
+                  float(rho[i, b])) for i in order if valid[i, b]]
+        nv = bool(valid[(head - 1) % m, b])
+        np.testing.assert_allclose(d[b], ref_dir(pairs, g[b], nv),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"lane {b}")
