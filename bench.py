@@ -143,6 +143,51 @@ def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3,
     return walls[len(walls) // 2]
 
 
+def certify_timed_step(comp, th, keys_all, Z, lane_ids, atol,
+                       max_batch=None):
+    """Value-certify the EXACT (program, width) being timed.
+
+    Round-5 closure of "the headline bench paths run uncertified": the
+    flagship bench models (spectral GRF, bandpower) declare
+    ``fft_grid=None`` so the solver's ``certify="auto"`` never probed
+    them here — yet this platform has produced two distinct batch-width
+    value-corruption families.  Before timing, re-solve rotated sample
+    lanes of one chunk with the independently compiled B=1 program
+    (solver/certify.py semantics) and compare objectives/norms; the
+    verdict is stamped into the bench JSON so a timed number can never
+    silently be garbage work.  Width 1 is the reference program itself.
+    """
+    import warnings
+
+    from muse_tpu.utils.fft_check import pad_lanes_to
+
+    n = keys_all.shape[0]
+    w = n if max_batch is None or max_batch >= n else max_batch
+    if w <= 1:
+        return True
+    kc = pad_lanes_to(keys_all[:w], w)
+    zc = pad_lanes_to(Z[:w], w)
+    lc = pad_lanes_to(lane_ids[:w], w)
+    cert = comp.certifier
+    out = comp.muse_step(th, th, kc, zc, lc, atol)
+    cert.should_probe("muse_step", w)      # advance the rotation counter
+    lanes = cert.probe_lane_set("muse_step", w, min(w, n))
+    kc_h = jnp.asarray(jax.device_get(kc))
+    lc_h = jax.device_get(lc)
+
+    def x_of(j):
+        if int(lc_h[j]) == 0:
+            return comp.x_obs
+        x, _ = cert._sample1(kc_h[j], th)
+        return x
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ok = cert.probe("muse_step", w, lanes, x_of, lambda j: zc[j],
+                        out["Z"], th, atol)
+    return bool(ok)
+
+
 def time_sequential_baseline(n_grid, model, nlanes=8, reps=3, nbands=12):
     """Reference execution model on the same chip: a genuine one-sim-at-a-
     time loop (the per-sim Distributed-worker schedule, src/muse.jl:169-176).
@@ -212,6 +257,16 @@ def main():
                                                   model=args.model,
                                                   nbands=args.nbands)
 
+    # value-certify the exact (program, width) about to be timed — a
+    # bench row on a platform with measured batch-width miscompiles is
+    # only honest if the timed program computes real values
+    certified = certify_timed_step(comp, th, keys_all, Z, lane_ids, atol,
+                                   max_batch=args.max_batch)
+    if not certified:
+        print(f"# WARNING: certification FAILED for model={args.model} "
+              f"at the timed width — this row times corrupt work",
+              file=sys.stderr, flush=True)
+
     batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
                           max_batch=args.max_batch)
 
@@ -245,6 +300,7 @@ def main():
         "vs_baseline": round(seq_total / batched_s, 2),
         "baseline_per_sim_s": round(seq_one, 4),
         "baseline_spread": round(seq_spread, 3),
+        "certified": certified,
     }
     if args.max_batch is not None:
         result["max_batch"] = args.max_batch

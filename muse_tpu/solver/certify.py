@@ -59,8 +59,22 @@ class CertificationError(RuntimeError):
     """Raised only in ``strict`` mode when a chunk fails certification."""
 
 
-def certify_enabled(certify, problem, width: int) -> bool:
-    """Resolve the ``certify`` kwarg ("auto" | True | False)."""
+# latent sizes at/above this are "field scale" — the regime where the
+# measured batch-width corruption families live (256² and up)
+FIELD_SCALE_NZ = 256 * 256
+
+
+def certify_enabled(certify, problem, width: int, nz=None) -> bool:
+    """Resolve the ``certify`` kwarg ("auto" | True | False).
+
+    "auto" arms on non-CPU backends for problems in the measured-risk
+    class: any problem declaring ``fft_grid`` (the original corruption
+    family), and — round-5 widening — any problem with a custom batched
+    latent solver (``custom_zhat``) at field-scale nz (≥ 256²): the
+    spectral-GRF/bandpower flagship paths set ``fft_grid=None`` yet run
+    exactly the kind of large compiled while_loop program the corruption
+    family targets, so the headline bench paths must not go unprobed.
+    """
     if certify is True:
         return True
     if certify is False or certify is None:
@@ -68,10 +82,12 @@ def certify_enabled(certify, problem, width: int) -> bool:
     if certify != "auto":
         raise ValueError(f"certify must be 'auto', True or False, "
                          f"got {certify!r}")
-    if width <= 1:
+    if width <= 1 or jax.default_backend() == "cpu":
         return False
-    return (getattr(problem, "fft_grid", None) is not None
-            and jax.default_backend() != "cpu")
+    if getattr(problem, "fft_grid", None) is not None:
+        return True
+    return (getattr(problem, "custom_zhat", None) is not None
+            and nz is not None and nz >= FIELD_SCALE_NZ)
 
 
 class ChunkCertifier:
@@ -146,10 +162,15 @@ class ChunkCertifier:
 
     # ---------------- verdict bookkeeping ---------------- #
 
-    def is_bad(self, kind: str, width: int) -> bool:
-        return (kind, width) in self._bad
+    def is_bad(self, kind, width: int) -> bool:
+        """``kind`` may be one kind or a tuple of kinds that share a chunk
+        width (the get_H FD flow records verdicts under both "h_fiducial"
+        and "h_fd" for the same sims-chunk width — routing must consult
+        every kind that can mark the width bad)."""
+        kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+        return any((k, width) in self._bad for k in kinds)
 
-    def route_width(self, kind: str, width: int) -> int:
+    def route_width(self, kind, width: int) -> int:
         """Smallest-change reroute away from widths known bad."""
         while width > 1 and self.is_bad(kind, width):
             width = self.fallback_width(width)
@@ -171,6 +192,35 @@ class ChunkCertifier:
         self._calls[k] = n + 1
         return n < 2 or (self.recheck_every > 0
                          and n % self.recheck_every == 0)
+
+    def probe_lane_set(self, kind: str, width: int, n_lanes: int):
+        """Lanes to re-solve for this probe call.
+
+        Deterministic rotation (reproducible, no RNG state): the first
+        probe covers {first, middle}, later probes rotate through the
+        lane positions, so a corruption confined to interior lanes or to
+        specific positions is still sampled over the probe schedule —
+        the measured corruption family is all-lane, but the lane choice
+        costs nothing to vary.
+
+        Trajectory-equivalence assumption (why ``rtol``/``norm_rtol``
+        can be tight): the batched solvers are PER-LANE MASKED — lanes
+        never interact — so a B=1 re-solve from the same inputs follows
+        the same trajectory up to roundoff.  A future solver whose inner
+        loop couples lanes (e.g. a global while_loop bound on a shared
+        CG) can legitimately diverge from its B=1 instantiation and
+        would need looser tolerances here.
+        """
+        n = max(1, int(n_lanes))
+        r = max(0, self._calls.get((kind, width), 1) - 1)
+        base = (0, n // 2, n - 1)
+        lanes, i = [], 0
+        while len(lanes) < min(self.probe_lanes, n):
+            cand = (base[i % 3] + (i // 3) + r * 7919) % n
+            if cand not in lanes:
+                lanes.append(cand)
+            i += 1
+        return sorted(lanes)
 
     # ---------------- the probe ---------------- #
 

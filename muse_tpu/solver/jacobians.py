@@ -72,23 +72,30 @@ def _key_chunks(keys, max_batch, mesh, fft_n=None, certifier=None,
     step = n if max_batch is None else max_batch
     # odd *per-device* padded width: even batched-FFT lane counts are
     # unsafe on the TPU backend (muse_tpu/utils/fft_check.py); under a
-    # mesh the width is a device-count multiple with odd shards
+    # mesh the width is a device-count multiple with odd shards.
+    # Routing is re-checked before every chunk so a failed verdict
+    # MID-pass moves the remaining chunks to the fallback width instead
+    # of silently taking the lane-wise fallback for the rest of the run.
     n_shards = mesh.n_sims_shards if mesh is not None else 1
     width = safe_lane_count(step, n_shards)
-    if certifier is not None:
-        rw = certifier.route_width(kind, width)
-        if rw != width:
-            step = min(step, rw)
-            width = safe_lane_count(step, n_shards)
-    if fft_n:
-        validate_fft_lanes(fft_n, width, n_shards)
-    for i in range(0, n, step):
+    validated = set()
+    i = 0
+    while i < n:
+        if certifier is not None:
+            rw = certifier.route_width(kind, width)
+            if rw != width:
+                step = max(1, min(step, rw))
+                width = safe_lane_count(step, n_shards)
+        if fft_n and width not in validated:
+            validate_fft_lanes(fft_n, width, n_shards)
+            validated.add(width)
         chunk = keys[i:i + step]
         c = chunk.shape[0]
         chunk = pad_lanes_to(chunk, width)
         if mesh is not None:
             chunk = mesh.shard_sims(chunk)
         yield chunk, c
+        i += step
 
 
 def _mk_certifier(comp, certify, problem, n_rem, max_batch, mesh):
@@ -101,7 +108,8 @@ def _mk_certifier(comp, certify, problem, n_rem, max_batch, mesh):
     step = n_rem if max_batch is None else max_batch
     width0 = safe_lane_count(step, n_shards)
     return (comp.certifier
-            if certify_enabled(certify, problem, width0) else None)
+            if certify_enabled(certify, problem, width0, nz=comp.nz)
+            else None)
 
 
 def _certified_sim_chunk(comp, certifier, kind, call, chunk, c,
@@ -141,7 +149,7 @@ def _certified_sim_chunk(comp, certifier, kind, call, chunk, c,
                 cache[j] = (x, z0)
             return cache[j]
 
-        lanes = sorted({0, c - 1})[:certifier.probe_lanes]
+        lanes = certifier.probe_lane_set(kind, w, c)
         if not certifier.probe(kind, w, lanes, lambda j: xz(j)[0],
                                lambda j: xz(j)[1], out["Z"],
                                th_dev, atol_dev):
@@ -206,7 +214,7 @@ def _certified_h_fd_chunk(certifier, comp, chunk, c, th, step_now,
     if certifier is not None and certifier.should_probe("h_fd", w):
         ch = jnp.asarray(jax.device_get(chunk))
         Zf = jnp.asarray(jax.device_get(Zfid))
-        lanes = sorted({0, c * ntheta * ns - 1})[:certifier.probe_lanes]
+        lanes = certifier.probe_lane_set("h_fd", w, c * ntheta * ns)
 
         def x_of(ell):
             s, th_p = pert(ell)
@@ -359,8 +367,18 @@ def get_J(
     # σ 7× the realization scatter).
     drop_reused = np.zeros(nsims_existing, bool)
     gs_mask = result.metadata.get("gs_converged")
-    if nsims_existing and gs_mask is not None \
-            and len(gs_mask) == nsims_existing:
+    if gs_mask is not None and len(gs_mask) != nsims_existing:
+        # a stale mask must not silently deactivate the guard (advisor
+        # finding: pre-fix get_J appended scores without extending it)
+        warnings.warn(
+            f"get_J: metadata['gs_converged'] has {len(gs_mask)} entries "
+            f"but result.gs holds {nsims_existing} scores — the "
+            "reliability mask is stale; discarding it and treating the "
+            "existing scores as converged (reference reuse semantics, "
+            "src/muse.jl:499-506).")
+        gs_mask = None
+        result.metadata.pop("gs_converged", None)
+    if nsims_existing and gs_mask is not None:
         bad = ~np.asarray(gs_mask, bool)
         if bad.any():
             if skip_errors:
@@ -397,6 +415,14 @@ def get_J(
     if nsims_remaining > 0:
         keys = sim_keys(key, nsims)[nsims_existing:]
         n_dropped = n_nonconv = n_run = 0
+        # keep the reliability mask aligned with result.gs as new scores
+        # are appended, so the reused-score guard above still works on a
+        # later resume (an absent mask for pre-existing scores means
+        # "no convergence info" — recorded as converged, the reference's
+        # silent-reuse semantics)
+        mask_list = (list(np.asarray(gs_mask, bool))
+                     if gs_mask is not None
+                     else [True] * nsims_existing)
         certifier = _mk_certifier(comp, certify, problem, nsims_remaining,
                                   max_batch, mesh)
         th_dev = jnp.asarray(th, dtype)
@@ -432,6 +458,9 @@ def get_J(
                     g_c = g_c[~failed_c]
                     nonconv_c = nonconv_c[~failed_c]
                 result.gs.extend(list(g_c))
+                mask_list.extend(list(~nonconv_c))
+                result.metadata["gs_converged"] = np.asarray(mask_list,
+                                                             bool)
                 # under skip_errors, unconverged scores are also excluded
                 # from the J estimate (kept in result.gs for CRN-exact
                 # resume) — same rationale as the reused-score guard above
@@ -638,10 +667,33 @@ def get_H(
 
         # fiducial MAPs don't depend on the FD step, so adaptive
         # rebalancing rounds reuse the round-1 fits (the dominant cost
-        # at field scale) instead of re-solving them
-        fid_cache = []
+        # at field scale) instead of re-solving them.  Stored PER-SIM
+        # (host array, filled as round 1 progresses) rather than
+        # per-chunk: a failed certification verdict reroutes later
+        # chunks to a smaller width, so chunk boundaries can differ
+        # between rounds and a chunk-indexed cache would misalign.
+        fid_store = {"Z": None, "filled": 0}
 
         def _to_Hs(g, failed, step_used):
+            # stale-stencil guard: if the ±ε gradients are bitwise
+            # IDENTICAL, the perturbed MAP re-solves never moved ẑ —
+            # the fiducial warm start was already within grad_z_atol, so
+            # every score row that depends on the data only through ẑ
+            # collapses to an exactly-zero H entry (measured: the
+            # adapter-parity model's H[θ,θ] = 0.0 at the default 1e-2;
+            # at 1e-4 FD matches the implicit-diff H to 6 digits).
+            stale = np.all(g[:, :, 0, :] == g[:, :, 1, :], axis=0)
+            if stale.any() and g.shape[0] > 0:
+                cols = sorted({int(j) for j, _ in np.argwhere(stale)})
+                warnings.warn(
+                    "get_H (FD mode): the ±ε stencil gradients are "
+                    f"bitwise identical for θ_sim column(s) {cols} on "
+                    f"{int(stale.sum())} (column, row) pairs — the "
+                    "perturbed MAP re-solves did not move ẑ because the "
+                    "fiducial warm start is already within grad_z_atol, "
+                    "so H entries that flow only through ẑ are exactly "
+                    "zero and σθ will be wrong. Tighten grad_z_atol "
+                    "(e.g. 1e-4) or use implicit_diff=True (exact).")
             # H_sim[i,j] = d g_i / d θsim_j (columns = perturbed θ comp.)
             Hs = np.einsum("njsi,s->nji", g,
                            weights) / step_used[None, :, None]
@@ -658,26 +710,38 @@ def get_H(
             given — finalizes each chunk immediately (kill-resilient
             non-adaptive path); otherwise the whole pass is returned for
             the adaptive step-rebalance."""
+            import jax
+
             from ..utils.fft_check import pad_lanes_to
             th_dev = jnp.asarray(th, dtype)
             atol_dev = jnp.asarray(grad_z_atol, dtype)
             g_parts, failed_parts = [], []
-            first = not fid_cache
-            for ci, (chunk, c) in enumerate(
-                    _key_chunks(keys, max_batch, mesh, fft_n,
-                                certifier, "h_fd_sims")):
+            pos = 0
+            # route on BOTH kinds recorded inside this loop ("h_fiducial"
+            # from the fiducial fits, "h_fd" from the stencil program):
+            # a bad verdict under either must move later chunks to the
+            # fallback width, not strand them on the lane-wise path
+            for chunk, c in _key_chunks(keys, max_batch, mesh, fft_n,
+                                        certifier, ("h_fd", "h_fiducial")):
                 w = chunk.shape[0]
-                if first:
+                if fid_store["filled"] < pos + c:
                     fid = _certified_sim_chunk(
                         comp, certifier, "h_fiducial",
                         lambda k1: comp.h_fiducial(k1, th_dev, atol_dev),
                         chunk, c, th_dev, atol_dev, warm="guess")
                     # a lane-wise fallback returns c (unpadded) lanes
-                    fid_cache.append(pad_lanes_to(fid["Z"], w))
+                    Zc = np.asarray(jax.device_get(fid["Z"]))[:c]
+                    if fid_store["Z"] is None:
+                        fid_store["Z"] = np.zeros(
+                            (len(keys),) + Zc.shape[1:], Zc.dtype)
+                    fid_store["Z"][pos:pos + c] = Zc
+                    fid_store["filled"] = pos + c
                     pbar.step(inc=c, msg="fiducial fits")
+                Zfid_c = pad_lanes_to(
+                    jnp.asarray(fid_store["Z"][pos:pos + c]), w)
                 out = _certified_h_fd_chunk(
                     certifier, comp, chunk, c, th, step_now, offsets,
-                    fid_cache[ci], grad_z_atol, dtype, n_shards)
+                    Zfid_c, grad_z_atol, dtype, n_shards)
                 g_c = np.asarray(out["g"], np.float64)[:c]
                 failed_c = np.asarray(out["failed"])[:c].any(axis=(1, 2))
                 if commit is not None:
@@ -686,6 +750,7 @@ def get_H(
                     g_parts.append(g_c)
                     failed_parts.append(failed_c)
                 pbar.step(inc=c * ntheta * len(offsets), msg="FD columns")
+                pos += c
             if commit is None:
                 return np.concatenate(g_parts), np.concatenate(failed_parts)
 

@@ -108,7 +108,15 @@ def muse_fit(
     """Run/resume the MUSE iteration on ``result`` (``muse!`` analog).
 
     Args mirror the reference's keywords (src/muse.jl:112-131):
-      theta_rtol   — ``θ_rtol``; grad_z_atol — ``∇z_logLike_atol``;
+      theta_rtol   — ``θ_rtol``.  The default (1e-1) is reference parity
+                     (src/muse.jl:119), but it measures σ-scaled STEP
+                     size, not closeness to the score root: the repo's
+                     256² calibration study measured it freezing damped
+                     marches mid-run, and every shipped demo overrides
+                     to 3e-3 — prefer that for production fits.  A stop
+                     that looks mid-march (final |g_post| still at its
+                     running max and above the MC noise floor) warns.
+      grad_z_atol  — ``∇z_logLike_atol``;
       Hinv_update  — "sims" | "broyden" | "diagonal_broyden";
       mesh         — optional :class:`muse_tpu.parallel.SimsMesh` to shard
                      the sims axis across devices (the worker-``pool``
@@ -179,7 +187,8 @@ def muse_fit(
     n_shards = mesh.n_sims_shards if mesh is not None else 1
     width = safe_lane_count(step_sz, n_shards)
     certifier = (comp.certifier
-                 if certify_enabled(certify, problem, width) else None)
+                 if certify_enabled(certify, problem, width, nz=comp.nz)
+                 else None)
 
     def make_chunks(z_rows_fn):
         """(Re)build the lane chunking at the currently routed width.
@@ -240,6 +249,7 @@ def muse_fit(
 
             # convergence check (src/muse.jl:163-165)
             if i > 2 and _theta_converged(history, theta_rtol, i):
+                _warn_midmarch_stop(history, theta_rtol, nsims)
                 break
 
             if rebuild:
@@ -273,7 +283,8 @@ def muse_fit(
                                          kc, Z_prev_c, lc, atol_dev)
                     if (certifier is not None
                             and certifier.should_probe("muse_step", width)):
-                        lanes = sorted({0, c - 1})[:certifier.probe_lanes]
+                        lanes = certifier.probe_lane_set("muse_step",
+                                                         width, c)
                         kc_h = jnp.asarray(jax.device_get(kc))
                         lc_h = np.asarray(jax.device_get(lc))
 
@@ -461,6 +472,47 @@ def _theta_converged(history, theta_rtol: float, i: int) -> bool:
     if len(history) < 3:
         return False       # one qualifying step is not convergence yet
     return step_metric(history[-3], history[-2]) < theta_rtol
+
+
+def _warn_midmarch_stop(history, theta_rtol: float, nsims: int) -> None:
+    """Warn when the θ_rtol stop fires mid-march.
+
+    θ_rtol measures a σ-scaled STEP size, not closeness to the score
+    root: an α-damped march can take small steps while |g_post| is still
+    large.  Measured on the 256² lensing calibration study
+    (BENCHMARKS.md): the σ-scaled stop at 3e-2 froze fits mid-march at
+    θ ≈ 0.08 vs truth 0.3; the shipped demos all override to 3e-3.  The
+    reference-parity default (1e-1, src/muse.jl:119) is kept, so when a
+    stop looks mid-march — the final posterior score is (a) not clearly
+    below its running maximum over the fit AND (b) above the Monte-Carlo
+    noise floor std(g_sims)/√nsims that a true root would sit at — say
+    so instead of returning silently."""
+    import warnings
+
+    g_norms = [float(np.max(np.abs(h["g_post_t"]))) for h in history
+               if "g_post_t" in h]
+    if len(g_norms) < 3:
+        return
+    g_last, g_max = g_norms[-1], max(g_norms)
+    h = history[-1]
+    if "g_like_sims_t" not in h or "g_post_t" not in h:
+        return
+    sd = np.std(np.asarray(h["g_like_sims_t"], np.float64), axis=0,
+                ddof=1)
+    floor = sd / math.sqrt(max(nsims, 2))
+    z = np.abs(np.asarray(h["g_post_t"], np.float64)) / np.maximum(
+        floor, 1e-300)
+    if g_last > 0.5 * g_max and float(np.max(z)) > 3.0:
+        warnings.warn(
+            f"MUSE stopped by theta_rtol={theta_rtol:g} while the "
+            f"posterior score is still {float(np.max(z)):.1f}× its "
+            "Monte-Carlo noise floor and has not decreased from its "
+            f"running maximum (max|g_post| {g_last:.3g} vs peak "
+            f"{g_max:.3g}) — the σ-scaled step test can freeze a damped "
+            "march far from the root (measured on the 256² lensing "
+            "study). The fit is likely NOT converged: rerun with a "
+            "smaller theta_rtol (the shipped demos use 3e-3) or more "
+            "maxsteps.")
 
 
 def spec_flatten_z(comp: CompiledProblem, z) -> np.ndarray:

@@ -160,6 +160,47 @@ def test_get_H_fd_detects_and_repairs():
     np.testing.assert_allclose(rb.H, rc.H, rtol=1e-5)
 
 
+def test_get_H_fd_reroutes_width_across_chunks():
+    """Regression (round-5 advisor finding): the get_H FD flow records
+    failed verdicts under kinds "h_fiducial"/"h_fd" but used to route
+    chunk widths by an unrelated kind ("h_fd_sims") — so after a failed
+    verdict every later chunk silently ran the slow lane-wise fallback
+    at the SAME width instead of rerouting.  With the fix, a mid-pass
+    failure moves the remaining chunks to the fallback width."""
+    rec = []
+    pb = _problem(corrupt=True, record=rec)
+    rb = MuseResult()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        get_H(rb, pb, 0.1, key=jax.random.PRNGKey(3), nsims=8,
+              step=0.05, max_batch=5, certify=True)
+    # chunk 1 runs (and fails) at width 5; chunk 2 must be REROUTED to
+    # the fallback width 3 (pre-fix: it stayed at 5 and went lane-wise,
+    # so no intermediate width ever appeared in the compiled-width log)
+    assert 3 in rec, rec
+    # and the repaired numbers still match an uncorrupted run
+    rc = MuseResult()
+    get_H(rc, _problem(corrupt=False), 0.1, key=jax.random.PRNGKey(3),
+          nsims=8, step=0.05, max_batch=5, certify=False)
+    np.testing.assert_allclose(rb.H, rc.H, rtol=1e-5)
+
+
+def test_probe_lane_rotation():
+    """Probe lanes include an interior lane and rotate across probe
+    calls (a corruption confined to interior lanes is sampled)."""
+    cert = ChunkCertifier(comp=None)
+    assert cert.probe_lane_set("k", 7, 2) == [0, 1]   # tiny chunk: all
+    # simulate successive probed calls at (kind, width)
+    seen = set()
+    for _ in range(6):
+        cert.should_probe("k", 9)
+        lanes = cert.probe_lane_set("k", 9, 20)
+        assert len(lanes) == 2 and all(0 <= l < 20 for l in lanes)
+        seen.update(lanes)
+    # first call covers {first, middle}; rotation reaches other lanes
+    assert 10 in seen and 0 in seen and len(seen) > 3, sorted(seen)
+
+
 def test_get_H_implicit_no_false_positive():
     p = _problem(corrupt=False, custom=False)
     r1, r2 = MuseResult(), MuseResult()
@@ -173,19 +214,38 @@ def test_get_H_implicit_no_false_positive():
     np.testing.assert_allclose(r1.H, r2.H, rtol=1e-6)
 
 
-def test_certify_auto_semantics():
+def test_certify_auto_semantics(monkeypatch):
     """'auto' is off on CPU / for non-field problems — the corrupt
     problem with certify='auto' must NOT be repaired (proving the flag
     gates the machinery), while certify=True catches it anywhere."""
-    from muse_tpu.solver.certify import certify_enabled
+    from muse_tpu.solver import certify as ct
     p = _problem(corrupt=True)
-    assert certify_enabled("auto", p, 7) is False      # no fft_grid / CPU
+    assert ct.certify_enabled("auto", p, 7) is False   # no fft_grid / CPU
     p.fft_grid = 16
-    assert certify_enabled("auto", p, 7) is False      # CPU backend
-    assert certify_enabled(True, p, 7) is True
-    assert certify_enabled(False, p, 7) is False
+    assert ct.certify_enabled("auto", p, 7) is False   # CPU backend
+    assert ct.certify_enabled(True, p, 7) is True
+    assert ct.certify_enabled(False, p, 7) is False
     with pytest.raises(ValueError):
-        certify_enabled("sometimes", p, 7)
+        ct.certify_enabled("sometimes", p, 7)
+
+    # round-5 widening: on a non-CPU backend, "auto" also arms for
+    # field-scale custom_zhat problems that declare NO fft_grid (the
+    # spectral-GRF/bandpower flagship bench paths) — and stays off for
+    # small-latent custom solvers and for plain-L-BFGS problems
+    monkeypatch.setattr(ct.jax, "default_backend", lambda: "tpu")
+    p.fft_grid = None
+    assert p.custom_zhat is not None
+    assert ct.certify_enabled("auto", p, 7) is False              # no nz
+    assert ct.certify_enabled("auto", p, 7, nz=512) is False      # small
+    assert ct.certify_enabled("auto", p, 7,
+                              nz=ct.FIELD_SCALE_NZ) is True       # field
+    assert ct.certify_enabled("auto", p, 1, nz=ct.FIELD_SCALE_NZ) \
+        is False                                                  # B=1
+    p.fft_grid = 16
+    assert ct.certify_enabled("auto", p, 7) is True               # fft
+    p_plain = _problem(corrupt=False, custom=False)
+    assert ct.certify_enabled("auto", p_plain, 7, nz=ct.FIELD_SCALE_NZ) \
+        is False                                                  # no custom
 
 
 def test_fallback_width_chain():

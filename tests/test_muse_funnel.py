@@ -544,6 +544,46 @@ def test_convergence_guard_non_nd_hinv():
         assert not w
 
 
+def test_midmarch_stop_warning():
+    """The θ_rtol stop is a σ-scaled STEP test and can freeze a damped
+    march far from the root (measured: 256² lensing stalled at θ≈0.08
+    vs truth 0.3).  When the stop fires while |g_post| is still at its
+    running max AND above the MC noise floor, the solver must warn; a
+    genuinely converged stop (score at the noise floor) must not."""
+    import warnings
+
+    from muse_tpu.solver.muse import _warn_midmarch_stop
+
+    def hist_entry(g_post, sims_sd=1.0, nsims_=100):
+        rng = np.random.default_rng(0)
+        return {"g_post_t": np.asarray(g_post, float),
+                "g_like_sims_t": sims_sd * rng.standard_normal(
+                    (nsims_, np.size(g_post)))}
+
+    # mid-march: score stuck at 5.0 over the whole fit, noise floor
+    # 1.0/sqrt(100) = 0.1 → z = 50 ≫ 3 and g_last == g_max
+    hist = [hist_entry([5.0]) for _ in range(4)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_midmarch_stop(hist, 1e-1, 100)
+    assert any("NOT converged" in str(wi.message) for wi in w)
+
+    # converged: score decayed 5.0 → 0.05, below 0.5·max and near floor
+    hist = [hist_entry([5.0]), hist_entry([1.0]), hist_entry([0.05])]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_midmarch_stop(hist, 1e-1, 100)
+    assert not w
+
+    # θ₀ already at the root: score at the noise floor from iteration 1
+    # (g_last ≈ g_max but z ≤ 3) — must NOT warn
+    hist = [hist_entry([0.11]), hist_entry([0.09]), hist_entry([0.10])]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_midmarch_stop(hist, 1e-1, 100)
+    assert not w
+
+
 def test_get_j_drops_unconverged_reused_scores():
     """One straggler MAP in the fit's final iteration must not silently
     inflate J through get_J's score reuse (measured at 256² lensing:
@@ -588,3 +628,52 @@ def test_get_j_drops_unconverged_reused_scores():
     # the poisoned score dominates the naive variance; the guard removes it
     assert J_poisoned > 100 * J_clean, (J_poisoned, J_clean)
     assert len(clean.gs) == 12          # resume record untouched
+
+
+def test_get_j_extends_convergence_mask_on_resume():
+    """Regression (round-5 advisor finding): get_J used to append new
+    scores to result.gs WITHOUT extending metadata["gs_converged"], so
+    on the next incremental get_J the length check failed and the
+    straggler-score guard silently deactivated — in exactly the resume
+    flow it was built for.  The mask must stay aligned with result.gs
+    across resumes, and a stale mask must warn, not vanish silently."""
+    import warnings
+
+    from muse_tpu import MuseResult, get_J
+    from muse_tpu.models.funnel import funnel_problem
+    from muse_tpu.solver.muse import muse_fit
+
+    prob = funnel_problem(64, data_key=jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(3)
+    res = MuseResult()
+    muse_fit(res, prob, 0.5, nsims=8, maxsteps=3, key=key)
+    assert len(res.metadata["gs_converged"]) == 8
+
+    # incremental get_J adds 4 sims → the mask must grow with result.gs
+    get_J(res, prob, nsims=12, key=key, warn_reuse=False)
+    assert len(res.gs) == 12
+    assert len(res.metadata["gs_converged"]) == 12
+
+    # poison one reused score: the guard must STILL fire on a further
+    # resume (pre-fix, the stale 8-long mask was silently discarded)
+    res.gs[2] = res.gs[2] + 1e4
+    res.metadata["gs_converged"][2] = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_J(res, prob, nsims=16, key=key, warn_reuse=False,
+              skip_errors=True)
+    assert any("dropping" in str(wi.message) for wi in w), \
+        [str(wi.message) for wi in w]
+    assert len(res.metadata["gs_converged"]) == 16
+
+    # a mask whose length disagrees with result.gs warns loudly
+    res2 = MuseResult()
+    res2.__dict__.update({k: v for k, v in res.__dict__.items()})
+    res2.metadata = dict(res.metadata)
+    res2.metadata["gs_converged"] = res2.metadata["gs_converged"][:5]
+    res2.J = None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_J(res2, prob, nsims=16, key=key, warn_reuse=False)
+    assert any("stale" in str(wi.message) for wi in w), \
+        [str(wi.message) for wi in w]

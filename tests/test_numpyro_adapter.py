@@ -212,11 +212,29 @@ def test_self_consistency(probs):
 def test_end_to_end_muse_parity(probs):
     """Full pipeline through the numpyro adapter matches the built-in PPL
     run (same CRN keys, same generative process) and passes the
-    reference's z-score oracle."""
+    reference's z-score oracle.
+
+    grad_z_atol=1e-4 is REQUIRED for a meaningful σθ here (round-5
+    root-cause): at the reference-parity default 1e-2, the FD-H
+    perturbed MAP re-solves exit immediately (the fiducial warm start is
+    already within tolerance), so H[θ,θ] — whose score depends on the
+    data only through ẑ — collapses to exactly 0 and σθ blows up to
+    ~1e15 (the e30 J/H-ratio warning this suite used to tolerate).  At
+    1e-4 the FD H matches the exact implicit-diff H to 6 digits."""
+    import warnings
+
     p_np, p_ppl = probs
     kw = dict(nsims=20, maxsteps=12, get_covariance=True,
-              key=jax.random.PRNGKey(1))
-    r1 = muse(p_np, {"theta": 1.0, "sigma": 1.0}, **kw)
+              grad_z_atol=1e-4, key=jax.random.PRNGKey(1))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r1 = muse(p_np, {"theta": 1.0, "sigma": 1.0}, **kw)
+    # the fit must be clean: no pathological J/H ratio, no stale FD
+    # stencil — the warnings this config is built to avoid
+    bad = [str(wi.message) for wi in w
+           if "J/H diagonal ratio" in str(wi.message)
+           or "bitwise identical" in str(wi.message)]
+    assert not bad, bad
     r2 = muse(p_ppl, {"theta": 1.0, "sigma": 1.0}, **kw)
     np.testing.assert_allclose(np.asarray(r1.theta), np.asarray(r2.theta),
                                rtol=1e-3, atol=1e-3)
@@ -224,7 +242,34 @@ def test_end_to_end_muse_parity(probs):
                                rtol=1e-2, atol=1e-3)
     # flat θ is in sorted-key order: (sigma, theta) = (1.1, 0.3)
     zscores = np.abs(r1.theta - np.array([1.1, 0.3])) / r1.sigma
-    assert (zscores < 3).all()
+    assert (zscores < 3).all(), (r1.theta, r1.sigma)
+
+
+def test_fd_h_stale_stencil_warning(probs):
+    """Regression for the root cause above: FD get_H at a loose
+    grad_z_atol must WARN about the bitwise-identical ±ε stencil (not
+    silently return a zero H row), and the tight-atol FD H must agree
+    with the exact implicit-diff H."""
+    import warnings
+
+    from muse_tpu.result import MuseResult
+    from muse_tpu.solver.jacobians import get_H
+
+    _, p_ppl = probs
+    th0 = {"theta": 0.65, "sigma": 1.34}
+    r = MuseResult()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_H(r, p_ppl, th0, key=jax.random.PRNGKey(1), nsims=4,
+              step=0.03, grad_z_atol=1e-2)
+    assert any("bitwise identical" in str(wi.message) for wi in w)
+
+    r_fd, r_im = MuseResult(), MuseResult()
+    get_H(r_fd, p_ppl, th0, key=jax.random.PRNGKey(1), nsims=4,
+          step=0.03, grad_z_atol=1e-4)
+    get_H(r_im, p_ppl, th0, key=jax.random.PRNGKey(1), nsims=4,
+          implicit_diff=True, implicit_fit_atol=1e-4)
+    np.testing.assert_allclose(r_fd.H, r_im.H, rtol=1e-3, atol=1e-3)
 
 
 # ------------------------------------------------------------------ #
