@@ -58,12 +58,29 @@ class NumpyroMuseProblem(MuseProblem):
         self.model_args = tuple(model_args)
         self.model_kwargs = dict(model_kwargs or {})
         self.observed = {k: jnp.asarray(v) for k, v in observed.items()}
-        self.params = tuple(params)
 
         tr = nph.trace(nph.seed(model, jax.random.PRNGKey(0))).get_trace(
             *self.model_args, **self.model_kwargs)
         sites = {n: s for n, s in tr.items() if s["type"] == "sample"}
         self.site_order = list(sites)
+        if params is None:
+            # graph-root default (src/soss.jl:91-94 analog; see
+            # muse_tpu.ppl._infer_root_sites): re-trace with every
+            # site's value perturbed; unchanged dists have no random
+            # parents and are the hypers
+            from ..ppl import _infer_root_sites
+            base = {n: jnp.asarray(sites[n]["value"])
+                    for n in self.site_order}
+            pert = {n: base[n] * 1.173 + 0.31891 for n in self.site_order}
+            tr2 = nph.trace(nph.seed(
+                nph.substitute(model, data=pert),
+                jax.random.PRNGKey(0))).get_trace(
+                    *self.model_args, **self.model_kwargs)
+            params = _infer_root_sites(
+                self.site_order, self.observed,
+                {n: sites[n]["fn"] for n in self.site_order},
+                {n: tr2[n]["fn"] for n in self.site_order}, base)
+        self.params = tuple(params)
         missing = [p for p in self.params if p not in self.site_order]
         if missing:
             raise ValueError(f"params {missing} are not sites of the model")

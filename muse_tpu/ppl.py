@@ -205,6 +205,36 @@ def _site_logpdf(site) -> jnp.ndarray:
     return jnp.sum(site["dist"].log_prob(site["value"]))
 
 
+def _infer_root_sites(site_order, observed, dists1, dists2, values):
+    """Default hyper sites when ``params`` is omitted: the model-graph
+    ROOT sites — non-observed sample sites whose distribution parameters
+    are trace-time constants.  The analog of the Soss adapter's
+    graph-leaf default (src/soss.jl:91-94: variables all of whose
+    parents are model arguments).  Detected semantically rather than
+    syntactically: the model is re-traced with every site's value
+    perturbed (``dists2``); a site whose density at a fixed evaluation
+    point changes had a random parent and is NOT a root.  Heuristic by
+    construction (a parent whose influence exactly cancels at the probe
+    point would be missed) — pass ``params`` explicitly for full
+    control."""
+    import numpy as np
+    roots = []
+    for n in site_order:
+        if n in observed:
+            continue
+        p1 = np.asarray(jnp.sum(dists1[n].log_prob(values[n])))
+        p2 = np.asarray(jnp.sum(dists2[n].log_prob(values[n])))
+        if np.array_equal(p1, p2, equal_nan=True):
+            roots.append(n)
+    if not roots:
+        raise ValueError(
+            "could not infer hyper sites: every non-observed site's "
+            "distribution depends on another site — pass params= "
+            "explicitly (the src/soss.jl:91-94 graph-leaf default only "
+            "covers root sites)")
+    return tuple(roots)
+
+
 class PPLMuseProblem(MuseProblem):
     """Adapt a handler-PPL model to the MUSE interface.
 
@@ -213,8 +243,11 @@ class PPLMuseProblem(MuseProblem):
         forwarded — the Soss ``model(σ)`` parameterization analog).
       observed: dict of conditioned site values — the data x
         (``model | (;x)`` analog).
-      params: names of the hyper-parameter sites θ (default ``("theta",)``,
-        matching the reference default ``params=(:θ,)``).
+      params: names of the hyper-parameter sites θ.  ``"theta"`` (the
+        default) matches the Turing-adapter default ``params=(:θ,)``;
+        ``None`` infers the model-graph root sites — non-observed sites
+        whose distribution parameters are trace-time constants — the
+        Soss adapter's graph-leaf default (src/soss.jl:91-94).
       model_args: extra positional arguments for ``model``.
       volume_factor: whether transformed-θ densities include the
         change-of-variables term.  True = Turing convention
@@ -230,13 +263,26 @@ class PPLMuseProblem(MuseProblem):
         self.model = model
         self.model_args = tuple(model_args)
         self.observed = {k: jnp.asarray(v) for k, v in observed.items()}
-        self.params = tuple(params)
 
         # --- site discovery (src/turing.jl:137-140) ------------------- #
         with trace() as tr, seed(jax.random.PRNGKey(0)):
             model(*self.model_args)
         self.site_order = [n for n, s in tr.sites.items()
                            if s["type"] == "sample"]
+        if params is None:
+            # graph-root default (src/soss.jl:91-94 analog): re-trace
+            # with every site's value perturbed; sites whose dist stayed
+            # put have no random parents and are the hypers
+            base = {n: jnp.asarray(tr.sites[n]["value"])
+                    for n in self.site_order}
+            pert = {n: base[n] * 1.173 + 0.31891 for n in self.site_order}
+            with trace() as tr2, substitute(pert):
+                model(*self.model_args)
+            params = _infer_root_sites(
+                self.site_order, self.observed,
+                {n: tr.sites[n]["dist"] for n in self.site_order},
+                {n: tr2.sites[n]["dist"] for n in self.site_order}, base)
+        self.params = tuple(params)
         missing = [p for p in self.params if p not in self.site_order]
         if missing:
             raise ValueError(f"params {missing} are not sites of the model")
@@ -331,6 +377,9 @@ def model_problem(model: Callable, theta0, observed: Dict[str, Any],
                   **kwargs) -> PPLMuseProblem:
     """Convenience: infer ``params`` from the keys of θ₀ — the
     ``muse(model, (σ=0.5, θ=0))`` direct-on-model overload analog
-    (src/turing.jl:245-256)."""
-    params = tuple(theta0.keys()) if isinstance(theta0, dict) else ("theta",)
+    (src/turing.jl:245-256).  A key-less (scalar/array) θ₀ falls back to
+    graph-root inference (``params=None``, the src/soss.jl:91-94
+    graph-leaf default), so a single-hyper model works whatever its
+    hyper site is named."""
+    params = tuple(theta0.keys()) if isinstance(theta0, dict) else None
     return PPLMuseProblem(model, observed=observed, params=params, **kwargs)

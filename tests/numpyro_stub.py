@@ -177,6 +177,7 @@ class _Constraint:
 
 
 real = _Constraint("real")
+real_vector = _Constraint("real_vector")     # event-dim-1 real support
 positive = _Constraint("positive")
 
 
@@ -262,7 +263,8 @@ class SigmoidAffineTransform(Transform):
 
 
 def biject_to(constraint):
-    if constraint.name == "real":
+    if constraint.name in ("real", "real_vector"):
+        # numpyro: biject_to(real_vector) is IdentityTransform too
         return IdentityTransform()
     if constraint.name == "positive":
         return ExpTransform()
@@ -369,6 +371,58 @@ class Uniform(_Dist):
         return jnp.where(inside, -jnp.log(self.hi - self.lo), -jnp.inf)
 
 
+class MultivariateNormal(_Dist):
+    """Full-covariance MVN — EVENT-shaped (event dim = last axis), the
+    numpyro.distributions.MultivariateNormal contract: ``log_prob``
+    reduces over the event axis (returns batch-shaped values), support
+    is ``real_vector`` (biject_to → IdentityTransform), and the batch
+    shape excludes the event dim.  Sampling uses loc + ε·Lᵀ with a
+    standard-normal draw of shape batch+(n,), the same construction as
+    ``muse_tpu.distributions.MvNormal`` so twin models are the same
+    generative process under one key."""
+
+    def __init__(self, loc, covariance_matrix):
+        loc = jnp.asarray(loc)
+        super().__init__(jnp.shape(loc)[:-1])
+        self.loc = loc
+        self.cov = jnp.asarray(covariance_matrix)
+        self.support = real_vector
+        self.event_shape = jnp.shape(loc)[-1:]
+
+    def _sample(self, key, shape):
+        n = self.loc.shape[-1]
+        eps = jax.random.normal(key, tuple(shape) + (n,),
+                                dtype=jnp.result_type(float))
+        L = jnp.linalg.cholesky(self.cov)
+        return self.loc + eps @ L.T
+
+    def log_prob(self, x):
+        L = jnp.linalg.cholesky(self.cov)
+        d = jnp.asarray(x) - self.loc
+        y = jax.scipy.linalg.solve_triangular(
+            L, d[..., None], lower=True)[..., 0]
+        n = jnp.shape(self.loc)[-1]
+        return (-0.5 * jnp.sum(y * y, axis=-1)
+                - jnp.sum(jnp.log(jnp.diagonal(L)))
+                - n * _HALF_LOG_2PI)
+
+    def expand(self, shape):
+        raise NotImplementedError(
+            "stub MultivariateNormal.expand: batch-expand the loc instead")
+
+
+def deterministic(name, value):
+    """numpyro.deterministic: record a derived quantity in traces; it is
+    NOT a sample site and contributes no density."""
+    site = {"type": "deterministic", "name": name, "value": value,
+            "fn": None, "key": None}
+    for h in reversed(_STACK):
+        h.process(site)
+    for h in _STACK:
+        h.postprocess(site)
+    return value
+
+
 # --------------------------------------------------------------------- #
 # module assembly / install / uninstall
 # --------------------------------------------------------------------- #
@@ -381,16 +435,19 @@ def _build_modules():
 
     np_mod.sample = sample
     np_mod.plate = plate
+    np_mod.deterministic = deterministic
     np_mod.distributions = dist_mod
     np_mod.handlers = h_mod
     np_mod.__stub__ = True
 
-    for name in ("Normal", "LogNormal", "HalfNormal", "Uniform"):
+    for name in ("Normal", "LogNormal", "HalfNormal", "Uniform",
+                 "MultivariateNormal"):
         setattr(dist_mod, name, globals()[name])
     dist_mod.biject_to = biject_to
     dist_mod.transforms = tf_mod
     dist_mod.constraints = types.SimpleNamespace(
-        real=real, positive=positive, interval=interval)
+        real=real, real_vector=real_vector, positive=positive,
+        interval=interval)
 
     tf_mod.IdentityTransform = IdentityTransform
     tf_mod.ExpTransform = ExpTransform

@@ -327,3 +327,53 @@ def test_plated_hierarchical_end_to_end():
     mc = 3 * sigma_post / np.sqrt(200)
     assert abs(float(r.theta[0]) - theta_post) < 3 * mc + 1e-3
     assert float(r.sigma[0]) == pytest.approx(sigma_post, rel=0.3)
+
+
+def test_params_inference_graph_roots():
+    """params=None infers the model-graph ROOT sites — the Soss
+    adapter's graph-leaf default (src/soss.jl:91-94): sites whose
+    distribution parameters are trace-time constants.  A key-less θ₀
+    through model_problem/muse takes the same path, so a single-hyper
+    model works whatever its hyper site is named."""
+    from muse_tpu.distributions import LogNormal
+
+    def m():
+        amp = ppl.sample("amp", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(amp / 2)).expand((32,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    tmp = ppl.PPLMuseProblem(m, observed={"x": jnp.zeros(32)},
+                             params=("amp",))
+    x_obs, _ = tmp.sample_x_z(jax.random.PRNGKey(3), {"amp": 0.2})
+
+    p = ppl.PPLMuseProblem(m, observed=x_obs, params=None)
+    assert p.params == ("amp",)
+    assert p.latent_vars == ("z",)
+
+    # direct-on-model with a key-less scalar θ₀: the hyper site is
+    # found even though it is not named "theta"
+    r = muse(m, 0.5, observed=x_obs, nsims=8, maxsteps=3,
+             key=jax.random.PRNGKey(0))
+    assert np.isfinite(r.theta).all()
+
+    # two roots (theta scale-free, sigma a root too) are both inferred
+    def m2():
+        th = ppl.sample("theta", Normal(0.0, 3.0))
+        sg = ppl.sample("sigma", LogNormal(0.0, 0.5))
+        z = ppl.sample("z", Normal(th, 1.0).expand((16,)))
+        ppl.sample("x", Normal(z, sg))
+
+    p2 = ppl.PPLMuseProblem(m2, observed={"x": jnp.zeros(16)}, params=None)
+    assert p2.params == ("theta", "sigma")
+    assert p2.latent_vars == ("z",)
+
+    # no root at all (every non-observed site has a random parent once
+    # the only root is observed) → a clear error asking for params=
+    def m3():
+        z = ppl.sample("z", Normal(0.0, 1.0).expand((8,)))
+        w = ppl.sample("w", Normal(z, 1.0))
+        ppl.sample("x", Normal(w, 1.0))
+
+    with pytest.raises(ValueError, match="could not infer"):
+        ppl.PPLMuseProblem(m3, observed={"x": jnp.zeros(8), "z": jnp.zeros(8)},
+                           params=None)
