@@ -68,14 +68,16 @@ def main():
     # diverged on its first draw (θ walked to 3.5 in two steps off a
     # 30×-underestimated slope), while the robust branch recovers θ to
     # within ~1σ (BENCHMARKS.md "Lensing σθ calibration at 256²").
-    # theta_rtol 3e-3, not the reference's 1e-1 default: the convergence
+    # theta_rtol 3e-4, not the reference's 1e-1 default: the convergence
     # metric is σ-scaled (√(−Δθᵀ H⁻¹_post Δθ) ≈ |Δθ|·σ_post), and with
-    # this family's damped+clamped steps (|Δθ| ~ 0.03-0.07 early) and
-    # σ_post ~ 0.3-0.5, a 3e-2 tolerance fires after 2-4 iterations while
-    # θ is still marching: the round-4 repeated-realization study measured
-    # θ̂ stalled at 0.03-0.08 against truth 0.3 (bias/SE ≈ −10) under
-    # 3e-2, vs clean convergence (g_post 1.7 → 0.01 over 8 iterations)
-    # with the tolerance out of the way.
+    # this family's damped+clamped steps the march has small-step
+    # episodes that fool even the two-step rule: the round-4 study
+    # measured θ̂ stalled at 0.03-0.08 against truth 0.3 under 3e-2, and
+    # the round-5 64-sim 8-rep study caught 3e-3 STILL freezing some
+    # realizations (rep 4: θ̂ 0.027 at 6 iterations vs its true CRN root
+    # 0.109 at 20 under a 2e-4 stop — BENCHMARKS.md "Round-5 full 8-rep
+    # study").  3e-4 costs ~2× the iterations of a 3e-3 stop and ends
+    # fits at genuine stationarity (|Δθ| flat, g_post stable).
     big = args.n >= 256
     atol = 3e-3 if big else 1e-2
     t0 = time.perf_counter()
@@ -84,7 +86,8 @@ def main():
              alpha=(0.4 if not big else 0.3),
              Hinv_update=("sims" if not big else "broyden"),
              regularize=(None if not big else clamp_step),
-             grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-3),
+             grad_z_atol=atol, theta_rtol=(1e-1 if not big else 3e-4),
+             maxsteps=(50 if not big else 30),
              # max_batch 3 at n >= 1024: the certified-width survey
              # (BENCHMARKS.md) measured width 3 fastest per lane AND
              # found widths 9/17 value-corrupted by the platform there —

@@ -113,7 +113,9 @@ def muse_fit(
                      size, not closeness to the score root: the repo's
                      256² calibration study measured it freezing damped
                      marches mid-run, and every shipped demo overrides
-                     to 3e-3 — prefer that for production fits.  A stop
+                     to 3e-4 — prefer that for production fits (round-5
+                     measurement: 3e-3 still froze some 256² lensing
+                     realizations mid-march).  A stop
                      that looks mid-march (final |g_post| still at its
                      running max and above the MC noise floor) warns.
       grad_z_atol  — ``∇z_logLike_atol``;
@@ -481,7 +483,8 @@ def _warn_midmarch_stop(history, theta_rtol: float, nsims: int) -> None:
     root: an α-damped march can take small steps while |g_post| is still
     large.  Measured on the 256² lensing calibration study
     (BENCHMARKS.md): the σ-scaled stop at 3e-2 froze fits mid-march at
-    θ ≈ 0.08 vs truth 0.3; the shipped demos all override to 3e-3.  The
+    θ ≈ 0.08 vs truth 0.3; the shipped demos all override to 3e-4
+    (round-5: 3e-3 still froze some realizations).  The
     reference-parity default (1e-1, src/muse.jl:119) is kept, so when a
     stop looks mid-march — the final posterior score is (a) not clearly
     below its running maximum over the fit AND (b) above the Monte-Carlo
@@ -511,7 +514,7 @@ def _warn_midmarch_stop(history, theta_rtol: float, nsims: int) -> None:
             f"{g_max:.3g}) — the σ-scaled step test can freeze a damped "
             "march far from the root (measured on the 256² lensing "
             "study). The fit is likely NOT converged: rerun with a "
-            "smaller theta_rtol (the shipped demos use 3e-3) or more "
+            "smaller theta_rtol (the shipped demos use 3e-4) or more "
             "maxsteps.")
 
 

@@ -34,7 +34,7 @@ from muse_tpu import MuseResult, get_H, get_J, muse_fit
 from muse_tpu.models.lensing import lensing_problem
 
 
-def run_one(rep, n, nsims, theta_true):
+def run_one(rep, n, nsims, theta_true, theta_rtol=3e-4, maxsteps=30):
     prob = lensing_problem(n=n, theta_true=theta_true,
                            data_key=jax.random.PRNGKey(100 + rep))
     prev = {"v": np.zeros(1)}
@@ -46,13 +46,17 @@ def run_one(rep, n, nsims, theta_true):
 
     t0 = time.perf_counter()
     res = MuseResult()
-    # theta_rtol 3e-3 (shipped config, examples/lensing_demo.py): the
-    # σ-scaled metric with 3e-2 stopped these fits 2-4 iterations in,
-    # stalled at θ ≈ 0.03-0.08 against truth 0.3 (round-4 study).
+    # theta_rtol (default 3e-4, --theta-rtol to override): the σ-scaled
+    # metric with 3e-2 stopped these fits 2-4 iterations in, stalled at
+    # θ ≈ 0.03-0.08 against truth 0.3 (round-4 study); the round-5
+    # 64-sim study found 3e-3 STILL freezes some realizations mid-march
+    # (rep 4: θ̂ 0.027 at 6 iters vs its true CRN root 0.109 at 20 —
+    # the damped march has small-step episodes that fool even the
+    # two-step rule), so the production prescription tightened to 3e-4.
     muse_fit(res, prob, 0.0, nsims=nsims, z0=prob.suggested_z0,
              alpha=0.3, Hinv_update="broyden", regularize=clamp_step,
-             grad_z_atol=3e-3, theta_rtol=3e-3, max_batch=9,
-             key=jax.random.PRNGKey(1000 + rep))
+             grad_z_atol=3e-3, theta_rtol=theta_rtol, maxsteps=maxsteps,
+             max_batch=9, key=jax.random.PRNGKey(1000 + rep))
     get_J(res, prob, nsims=nsims, grad_z_atol=3e-3, max_batch=9,
           warn_reuse=False, skip_errors=True,
           key=jax.random.PRNGKey(1000 + rep))
@@ -73,11 +77,19 @@ def main():
     ap.add_argument("--nsims", type=int, default=16)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--theta-true", type=float, default=0.3)
+    ap.add_argument("--theta-rtol", type=float, default=3e-4)
+    # --rep-start: run realizations [rep_start, rep_start+reps) — for
+    # resuming an interrupted study or diagnosing one realization
+    # (rep indexes the data_key, so rep k is the same dataset however
+    # the study is partitioned)
+    ap.add_argument("--rep-start", type=int, default=0)
+    ap.add_argument("--maxsteps", type=int, default=30)
     args = ap.parse_args()
 
     rows = []
-    for rep in range(args.reps):
-        row = run_one(rep, args.n, args.nsims, args.theta_true)
+    for rep in range(args.rep_start, args.rep_start + args.reps):
+        row = run_one(rep, args.n, args.nsims, args.theta_true,
+                      theta_rtol=args.theta_rtol, maxsteps=args.maxsteps)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -90,6 +102,7 @@ def main():
     print(json.dumps({
         "summary": True, "n": args.n, "nsims": args.nsims,
         "reps": args.reps, "theta_true": args.theta_true,
+        "theta_rtol": args.theta_rtol,
         "mean_theta": float(th.mean()), "std_theta": float(th.std(ddof=1)),
         "max_abs_z": float(np.abs(z).max()), "coverage_1.96": cover,
         "bias_over_se": bias_se,

@@ -89,8 +89,13 @@ def test_example_runs_quick(cmd, pattern, bound):
     """Each shipped example must run end-to-end at a small size and print
     an accuracy line inside loose-but-real bounds (z-score / MLE gap /
     MUSE-vs-HMC agreement)."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    # PYTHONPATH=REPO only — deliberately NOT inheriting the ambient
+    # path: this environment's default PYTHONPATH carries a sitecustomize
+    # that registers a TPU-tunnel jax plugin, and while the tunnel is
+    # down ANY jax dispatch hangs even under JAX_PLATFORMS=cpu (measured:
+    # this test timed out at 900 s with zero CPU during a tunnel outage).
+    # The examples need only the repo on the path.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     out = subprocess.run([sys.executable, cmd[0], *cmd[1:]], cwd=REPO,
                          env=env, capture_output=True, text=True,
                          timeout=900)
