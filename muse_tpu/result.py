@@ -57,7 +57,17 @@ class MuseResult:
 
     @property
     def sigma(self):
-        """Per-component standard deviations (None before get_J/get_H)."""
+        """Per-component standard deviations (None before get_J/get_H).
+
+        Calibration caveat (measured, BENCHMARKS.md "Round-5 re-run at
+        theta_rtol=3e-4"): σ is the MUSE sandwich √diag((HᵀJ⁻¹H+Hp)⁻¹),
+        which is honestly CONSERVATIVE in weak-information regimes —
+        where the data barely constrain a θ component, J ≫ H is genuine
+        (both H estimators agree) and σ over-covers the empirical
+        realization-to-realization scatter of θ̂ (3-4× measured on the
+        256² lensing flagship at 64 sims, coverage 8/8).  Treat σ as an
+        upper bound near such points; the J/H-ratio warning from
+        finalize_result flags the strongly affected fits."""
         if self.Sigma is None:
             return None
         S = np.atleast_2d(np.asarray(self.Sigma))

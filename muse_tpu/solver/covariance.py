@@ -39,8 +39,12 @@ def finalize_result(result: MuseResult, comp) -> MuseResult:
         import warnings
         warnings.warn(
             f"J/H diagonal ratio is {ratio} — expected O(1) at θ̂. "
-            "Suspect MAP solutions too loose (tighten grad_z_atol) or "
-            "model misspecification; σθ may be unreliable.")
+            "Suspect MAP solutions too loose (tighten grad_z_atol), "
+            "model misspecification, or a weak-information regime "
+            "(the data barely constrain this θ component: J ≫ H is then "
+            "genuine and σθ is honestly conservative — measured 3-4× "
+            "over-coverage on the 256² lensing flagship, see "
+            "MuseResult.sigma and BENCHMARKS.md); σθ may be unreliable.")
 
     result.Sigma_inv = H.T @ np.linalg.inv(J) @ H + H_prior
     result.Sigma = np.linalg.inv(result.Sigma_inv)
