@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-5 flagship measurement queue (one real TPU chip, sequential).
+#
+# Closes VERDICT round-4 item #1: quote the >= 512^2 lensing accuracy at
+# the sim count the repo's own nsims-dependence study prescribes
+# (nsims = 64), replacing the documented-biased 16/32-sim headline rows,
+# and runs the nsims = 128 discriminator the round-5 256^2 study called
+# for (if the residual -1 sigma-of-scatter bias halves, it is the
+# O(1/nsims) MC score bias; if not, it is estimator-intrinsic at this
+# S/N — a property the reference shares by construction).
+#
+# Usage: bash scripts/round5_flagship_runs.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+out="${1:-/tmp/round5_runs}"
+mkdir -p "$out"
+
+echo "=== [1/4] 1024^2 flagship, nsims=64 (shipped demo config) ==="
+timeout 7200 python examples/lensing_demo.py --n 1024 --nsims 64 \
+    > "$out/lensing_1024_ns64.log" 2>&1
+echo "exit=$? (log: $out/lensing_1024_ns64.log)"
+
+echo "=== [2/4] 512^2, nsims=64 x 3 reps ==="
+timeout 7200 python scripts/lensing_calibration_study.py \
+    --n 512 --nsims 64 --reps 3 \
+    > "$out/lensing_512_ns64_reps.log" 2>&1
+echo "exit=$? (log: $out/lensing_512_ns64_reps.log)"
+
+echo "=== [3/4] 256^2 nsims=128 discriminator, reps 0-3 ==="
+timeout 7200 python scripts/lensing_calibration_study.py \
+    --n 256 --nsims 128 --reps 4 \
+    > "$out/lensing_256_ns128_a.log" 2>&1
+echo "exit=$? (log: $out/lensing_256_ns128_a.log)"
+
+echo "=== [4/4] 256^2 nsims=128 discriminator, reps 4-7 ==="
+timeout 7200 python scripts/lensing_calibration_study.py \
+    --n 256 --nsims 128 --reps 4 --rep-start 4 \
+    > "$out/lensing_256_ns128_b.log" 2>&1
+echo "exit=$? (log: $out/lensing_256_ns128_b.log)"
+
+echo "ALL DONE"
