@@ -12,6 +12,7 @@
 # Usage: bash scripts/round5_flagship_runs.sh [outdir]
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 out="${1:-/tmp/round5_runs}"
 mkdir -p "$out"
 
