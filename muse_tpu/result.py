@@ -67,7 +67,10 @@ class MuseResult:
         realization-to-realization scatter of θ̂ (3-4× measured on the
         256² lensing flagship at 64 sims, coverage 8/8).  Treat σ as an
         upper bound near such points; the J/H-ratio warning from
-        finalize_result flags the strongly affected fits."""
+        finalize_result flags the strongly affected fits.  Where the
+        data DO constrain θ the sandwich is frequentist-calibrated:
+        the same pipeline at 512² measured σ/scatter = 1.03 over
+        independent realizations (BENCHMARKS.md, round 5)."""
         if self.Sigma is None:
             return None
         S = np.atleast_2d(np.asarray(self.Sigma))
