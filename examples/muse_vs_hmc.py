@@ -12,6 +12,12 @@ Run:  python examples/muse_vs_hmc.py  [--dim 512 --nsims 100]
 import argparse
 import time
 
+import sys
+
+# allow running straight from a repo checkout: `python examples/<demo>.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
