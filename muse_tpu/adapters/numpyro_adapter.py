@@ -87,6 +87,24 @@ class NumpyroMuseProblem(MuseProblem):
         bad_obs = [o for o in self.observed if o not in self.site_order]
         if bad_obs:
             raise ValueError(f"observed {bad_obs} are not model sites")
+        # Broadcast observed values to each site's full traced shape
+        # (numpyro obs-broadcast semantics; same rationale as
+        # ppl.PPLMuseProblem — keeps the data lane shape-identical to sim
+        # lanes in the lockstep solver and rejects extra leading dims
+        # that would silently multiply density terms).
+        for k in self.observed:
+            full = tuple(jnp.shape(sites[k]["value"]))
+            try:
+                self.observed[k] = jnp.broadcast_to(self.observed[k], full)
+            except ValueError:
+                raise ValueError(
+                    f"observed[{k!r}] has shape "
+                    f"{tuple(jnp.shape(self.observed[k]))}, which does not "
+                    f"broadcast to site {k!r}'s shape {full} (its plate/"
+                    "batch + event shape). MUSE compares the data against "
+                    "same-shaped simulations, so extra leading dims are "
+                    "not meaningful here — reshape the data or add a "
+                    "plate to the model.") from None
         self.latent_vars = tuple(n for n in self.site_order
                                  if n not in self.observed
                                  and n not in self.params)

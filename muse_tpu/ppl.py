@@ -289,6 +289,28 @@ class PPLMuseProblem(MuseProblem):
         bad_obs = [o for o in self.observed if o not in self.site_order]
         if bad_obs:
             raise ValueError(f"observed {bad_obs} are not model sites")
+        # Normalize observed values to each site's FULL traced shape
+        # (numpyro obs-broadcasting semantics: a scalar observed under a
+        # plate is that value observed at every plate index).  Doing the
+        # broadcast here — not at density time — keeps the data lane
+        # shape-identical to sim lanes in the lockstep solver
+        # (solver/compiled.py muse_step's lane-0 mix), and turns an
+        # over-shaped observed value (extra leading dims, which numpyro's
+        # log_prob would silently broadcast into EXTRA density terms)
+        # into an immediate error.
+        for k in self.observed:
+            full = tuple(jnp.shape(tr.sites[k]["value"]))
+            try:
+                self.observed[k] = jnp.broadcast_to(self.observed[k], full)
+            except ValueError:
+                raise ValueError(
+                    f"observed[{k!r}] has shape "
+                    f"{tuple(jnp.shape(self.observed[k]))}, which does not "
+                    f"broadcast to site {k!r}'s shape {full} (its plate/"
+                    "batch + event shape). MUSE compares the data against "
+                    "same-shaped simulations, so extra leading dims are "
+                    "not meaningful here — reshape the data or add a "
+                    "plate to the model.") from None
         self.latent_vars = tuple(
             n for n in self.site_order
             if n not in self.observed and n not in self.params)
