@@ -10,9 +10,9 @@ Run:  python examples/muse_vs_hmc.py  [--dim 512 --nsims 100]
 """
 
 import argparse
-import time
-
+import os
 import sys
+import time
 
 # allow running straight from a repo checkout: `python examples/<demo>.py`
 sys.path.insert(0, os.path.dirname(os.path.dirname(
