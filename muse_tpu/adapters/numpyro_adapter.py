@@ -17,6 +17,11 @@ Mapping (mirrors TuringMuseProblem, src/turing.jl:112-169):
                           (linked logjoint, src/turing.jl:192-196)
   log_prior             → θ sites' densities alone (src/turing.jl:198-202)
   θ transforms          → blockwise biject_to over the flat θ vector
+  numpyro.factor sites  → Unit-fn sample sites: excluded from the
+                          latent/hyper/observed split, included in the
+                          log-joint; pure-θ factors also enter log_prior
+                          (Turing's @addlogprob! flows into logjoint the
+                          same way, src/turing.jl:192-196)
 """
 
 from __future__ import annotations
@@ -63,23 +68,34 @@ class NumpyroMuseProblem(MuseProblem):
             *self.model_args, **self.model_kwargs)
         sites = {n: s for n, s in tr.items() if s["type"] == "sample"}
         self.site_order = list(sites)
+        # numpyro.factor sites: sample sites whose fn is dist.Unit — an
+        # arbitrary log-density term (Turing's @addlogprob! analog).
+        # They stay in site_order (log_like sums fn.log_prob, which for
+        # Unit IS the recomputed log_factor) but are excluded from
+        # latent/hyper/observed classification: they carry density, not
+        # randomness.
+        _unit = getattr(npdist, "Unit", None)
+        self.factor_sites = tuple(
+            n for n, s in sites.items()
+            if _unit is not None and isinstance(s["fn"], _unit))
         if params is None:
             # graph-root default (src/soss.jl:91-94 analog; see
             # muse_tpu.ppl._infer_root_sites): re-trace with every
             # site's value perturbed; unchanged dists have no random
             # parents and are the hypers
             from ..ppl import _infer_root_sites
-            base = {n: jnp.asarray(sites[n]["value"])
-                    for n in self.site_order}
-            pert = {n: base[n] * 1.173 + 0.31891 for n in self.site_order}
+            cand = [n for n in self.site_order
+                    if n not in self.factor_sites]
+            base = {n: jnp.asarray(sites[n]["value"]) for n in cand}
+            pert = {n: base[n] * 1.173 + 0.31891 for n in cand}
             tr2 = nph.trace(nph.seed(
                 nph.substitute(model, data=pert),
                 jax.random.PRNGKey(0))).get_trace(
                     *self.model_args, **self.model_kwargs)
             params = _infer_root_sites(
-                self.site_order, self.observed,
-                {n: sites[n]["fn"] for n in self.site_order},
-                {n: tr2[n]["fn"] for n in self.site_order}, base)
+                cand, self.observed,
+                {n: sites[n]["fn"] for n in cand},
+                {n: tr2[n]["fn"] for n in cand}, base)
         self.params = tuple(params)
         missing = [p for p in self.params if p not in self.site_order]
         if missing:
@@ -105,16 +121,48 @@ class NumpyroMuseProblem(MuseProblem):
                     "same-shaped simulations, so extra leading dims are "
                     "not meaningful here — reshape the data or add a "
                     "plate to the model.") from None
+        clash = set(self.factor_sites) & (set(self.params)
+                                          | set(self.observed))
+        if clash:
+            raise ValueError(f"{sorted(clash)} are numpyro.factor sites "
+                             "— they cannot be observed or hyper "
+                             "parameters")
         self.latent_vars = tuple(n for n in self.site_order
                                  if n not in self.observed
-                                 and n not in self.params)
+                                 and n not in self.params
+                                 and n not in self.factor_sites)
         if not self.latent_vars:
             raise ValueError("model has no latent sites")
+
+        # Pure-θ factors additionally enter log_prior (see
+        # ppl.PPLMuseProblem: in the likelihood score a θ-only term
+        # cancels between data and sims; the prior is where it tilts the
+        # posterior).  Probe: re-trace with every non-θ site perturbed
+        # and θ pinned — an unmoved log_factor has no (z, x) parents.
+        self._prior_factors: tuple = ()
+        if self.factor_sites:
+            probe = {n: (jnp.asarray(sites[n]["value"])
+                         if n in self.params
+                         else jnp.asarray(sites[n]["value"]) * 1.173
+                         + 0.31891)
+                     for n in self.site_order
+                     if n not in self.factor_sites}
+            tr3 = nph.trace(nph.seed(
+                nph.substitute(model, data=probe),
+                jax.random.PRNGKey(0))).get_trace(
+                    *self.model_args, **self.model_kwargs)
+            self._prior_factors = tuple(
+                n for n in self.factor_sites
+                if np.array_equal(
+                    np.asarray(sites[n]["fn"].log_prob(sites[n]["value"])),
+                    np.asarray(tr3[n]["fn"].log_prob(tr3[n]["value"])),
+                    equal_nan=True))
 
         # biject_to(support): constrained -> unconstrained is .inv;
         # our Bijector.forward = to-unconstrained, so wrap accordingly.
         self._site_tf = {n: npdist.biject_to(sites[n]["fn"].support)
-                         for n in self.site_order}
+                         for n in self.site_order
+                         if n not in self.factor_sites}
         self._discovery = {n: sites[n]["value"] for n in self.site_order}
 
         hyper_sorted = sorted(self.params)
@@ -184,7 +232,7 @@ class NumpyroMuseProblem(MuseProblem):
         tr = nph.trace(nph.seed(sub, jax.random.PRNGKey(0))).get_trace(
             *self.model_args, **self.model_kwargs)
         return sum(jnp.sum(tr[n]["fn"].log_prob(tr[n]["value"]))
-                   for n in self.params)
+                   for n in (*self.params, *self._prior_factors))
 
 
 class _BlockwiseBiject:

@@ -44,7 +44,7 @@ from . import transforms as tf
 from .distributions import Distribution
 from .problem import MuseProblem
 
-__all__ = ["sample", "deterministic", "plate", "trace", "seed",
+__all__ = ["sample", "deterministic", "factor", "plate", "trace", "seed",
            "substitute", "PPLMuseProblem", "model_problem"]
 
 _HANDLER_STACK: list = []
@@ -92,7 +92,9 @@ class substitute(Messenger):
         self.values = dict(values)
 
     def process(self, site):
-        if site["name"] in self.values:
+        # factor sites carry a COMPUTED log-density term as their value;
+        # substituting it would silently replace the model's math
+        if site["type"] != "factor" and site["name"] in self.values:
             site["value"] = self.values[site["name"]]
 
 
@@ -178,6 +180,43 @@ def sample(name: str, dist: Distribution, obs=None):
     for h in _HANDLER_STACK:
         h.postprocess(site)
     return site["value"]
+
+
+def factor(name: str, log_factor):
+    """Add an arbitrary term to the model's log-joint — the
+    ``numpyro.factor`` / Turing ``@addlogprob!`` analog (the reference
+    ingests such terms implicitly because its densities come from
+    ``DynPPL.logjoint``, src/turing.jl:192-196).
+
+    The (summed) value enters ``log_like``, the full linked log-joint.  A
+    factor that depends only on θ is *additionally* routed to
+    ``log_prior`` — detected at construction by re-tracing with every
+    non-θ site perturbed — so pure prior tilts flow into the MUSE
+    posterior through g_prior/H_prior (inside the likelihood score a
+    θ-only term cancels exactly between data and sims, src/muse.jl:183).
+
+    Factors never affect sampling: ``sample_x_z`` draws from the sites'
+    own distributions (standard PPL-factor semantics).  MUSE requires
+    sims to be exact draws from the model's generative law, so a factor
+    that reweights z or x makes the problem a *different* model than the
+    sampler simulates — express data/latent density terms through site
+    distributions; reserve ``factor`` for θ-tilts and for terms that are
+    genuinely part of the likelihood given (x, z).
+
+    Not supported inside ``plate`` (numpyro would multiply-count the
+    term by the plate size there; compute the summed term and call
+    ``factor`` outside the plate)."""
+    if _PLATE_STACK:
+        raise NotImplementedError(
+            "factor() inside a plate is not supported — sum the term "
+            "over the plate yourself and call factor() outside it")
+    site = {"type": "factor", "name": name,
+            "value": jnp.asarray(log_factor), "dist": None, "key": None}
+    for h in reversed(_HANDLER_STACK):
+        h.process(site)
+    for h in _HANDLER_STACK:
+        h.postprocess(site)
+    return None
 
 
 def deterministic(name: str, value):
@@ -269,6 +308,8 @@ class PPLMuseProblem(MuseProblem):
             model(*self.model_args)
         self.site_order = [n for n, s in tr.sites.items()
                            if s["type"] == "sample"]
+        self.factor_sites = tuple(n for n, s in tr.sites.items()
+                                  if s["type"] == "factor")
         if params is None:
             # graph-root default (src/soss.jl:91-94 analog): re-trace
             # with every site's value perturbed; sites whose dist stayed
@@ -285,9 +326,19 @@ class PPLMuseProblem(MuseProblem):
         self.params = tuple(params)
         missing = [p for p in self.params if p not in self.site_order]
         if missing:
+            bad = [p for p in missing if p in self.factor_sites]
+            if bad:
+                raise ValueError(f"{bad} are factor sites — they carry a "
+                                 "density term, not a random variable, so "
+                                 "they cannot be hyper parameters")
             raise ValueError(f"params {missing} are not sites of the model")
         bad_obs = [o for o in self.observed if o not in self.site_order]
         if bad_obs:
+            bad = [o for o in bad_obs if o in self.factor_sites]
+            if bad:
+                raise ValueError(f"{bad} are factor sites — they carry a "
+                                 "density term, not a random variable, so "
+                                 "they cannot be observed")
             raise ValueError(f"observed {bad_obs} are not model sites")
         # Normalize observed values to each site's FULL traced shape
         # (numpyro obs-broadcasting semantics: a scalar observed under a
@@ -316,6 +367,29 @@ class PPLMuseProblem(MuseProblem):
             if n not in self.observed and n not in self.params)
         if not self.latent_vars:
             raise ValueError("model has no latent sites")
+
+        # --- factor sites (ppl.factor) -------------------------------- #
+        # All factors enter log_like (the full log-joint).  Factors that
+        # depend ONLY on θ additionally enter log_prior: re-trace with
+        # every non-θ sample site perturbed and θ pinned — a factor whose
+        # value did not move has no (z, x) parents.  Same probe-point
+        # heuristic as _infer_root_sites (an influence that exactly
+        # cancels at the probe point would be missed).
+        self._prior_factors: tuple = ()
+        if self.factor_sites:
+            import numpy as _np
+            base = {n: jnp.asarray(tr.sites[n]["value"])
+                    for n in self.site_order}
+            probe = {n: (base[n] if n in self.params
+                         else base[n] * 1.173 + 0.31891)
+                     for n in self.site_order}
+            with trace() as trf, substitute(probe):
+                model(*self.model_args)
+            self._prior_factors = tuple(
+                n for n in self.factor_sites
+                if _np.array_equal(_np.asarray(tr.sites[n]["value"]),
+                                   _np.asarray(trf.sites[n]["value"]),
+                                   equal_nan=True))
 
         # per-site support bijectors (from the discovery trace's dists;
         # supports must be θ-independent, as in Turing's link machinery)
@@ -380,6 +454,8 @@ class PPLMuseProblem(MuseProblem):
         with trace() as tr, substitute(values):
             self.model(*self.model_args)
         lp = sum(_site_logpdf(tr.sites[n]) for n in self.site_order)
+        lp = lp + sum(jnp.sum(tr.sites[n]["value"])
+                      for n in self.factor_sites)
         return lp + ldj
 
     def log_prior(self, theta) -> jnp.ndarray:
@@ -392,7 +468,9 @@ class PPLMuseProblem(MuseProblem):
                 values[n] = self._discovery[n]["value"]
         with trace() as tr, substitute(values):
             self.model(*self.model_args)
-        return sum(_site_logpdf(tr.sites[n]) for n in self.params)
+        return (sum(_site_logpdf(tr.sites[n]) for n in self.params)
+                + sum(jnp.sum(tr.sites[n]["value"])
+                      for n in self._prior_factors))
 
 
 def model_problem(model: Callable, theta0, observed: Dict[str, Any],

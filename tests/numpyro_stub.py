@@ -411,6 +411,33 @@ class MultivariateNormal(_Dist):
             "stub MultivariateNormal.expand: batch-expand the loc instead")
 
 
+class Unit(_Dist):
+    """numpyro.distributions.Unit — the degenerate distribution carrying
+    an arbitrary log-density term (``numpyro.factor`` desugars to a
+    sample site with this fn).  ``log_prob(value)`` returns the stored
+    log_factor regardless of value; samples are empty (trailing event
+    dim 0), so the site contributes density but no randomness."""
+
+    support = real
+
+    def __init__(self, log_factor):
+        self.log_factor = jnp.asarray(log_factor)
+        super().__init__(jnp.shape(self.log_factor))
+        self.event_shape = (0,)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.zeros(tuple(sample_shape) + self._shape + (0,))
+
+    def _log_prob(self, x):
+        return self.log_factor
+
+
+def factor(name, log_factor):
+    """numpyro.factor: arbitrary log-probability term, desugared exactly
+    as real numpyro does — a sample site whose fn is Unit(log_factor)."""
+    sample(name, Unit(log_factor))
+
+
 def deterministic(name, value):
     """numpyro.deterministic: record a derived quantity in traces; it is
     NOT a sample site and contributes no density."""
@@ -436,12 +463,13 @@ def _build_modules():
     np_mod.sample = sample
     np_mod.plate = plate
     np_mod.deterministic = deterministic
+    np_mod.factor = factor
     np_mod.distributions = dist_mod
     np_mod.handlers = h_mod
     np_mod.__stub__ = True
 
     for name in ("Normal", "LogNormal", "HalfNormal", "Uniform",
-                 "MultivariateNormal"):
+                 "MultivariateNormal", "Unit"):
         setattr(dist_mod, name, globals()[name])
     dist_mod.biject_to = biject_to
     dist_mod.transforms = tf_mod

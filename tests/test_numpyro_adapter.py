@@ -600,3 +600,105 @@ def test_observed_value_broadcasting(na, stub):
     with pytest.raises(ValueError, match="does not broadcast"):
         na.NumpyroMuseProblem(model, observed={"x": jnp.zeros((N + 1,))},
                               params=("theta",))
+
+
+# ------------------------------------------------------------------ #
+# numpyro.factor sites (Unit-fn sample sites) — Turing's @addlogprob!
+# flows into logjoint the same way (src/turing.jl:192-196)
+# ------------------------------------------------------------------ #
+
+_HL2P = 0.9189385332046727  # log(2π)/2, pinned
+
+
+def _lnorm(v, m, s):
+    v, m, s = (np.asarray(a, dtype=np.float64) for a in (v, m, s))
+    return float(np.sum(-0.5 * ((v - m) / s) ** 2 - np.log(s) - _HL2P))
+
+
+def test_factor_sites_classification_and_density(stub, na):
+    npd = stub.distributions
+    D6 = 6
+
+    def model():
+        theta = stub.sample("theta", npd.Normal(0.0, 3.0))
+        z = stub.sample("z", npd.Normal(theta, 1.0).expand((D6,)))
+        stub.sample("x", npd.Normal(z, 1.0))
+        stub.factor("soft", -0.125 * jnp.sum(z ** 2))
+        stub.factor("tilt", -0.25 * theta ** 2)
+
+    xv = jnp.linspace(-1.0, 1.0, D6)
+    p = na.NumpyroMuseProblem(model, observed={"x": xv})
+    assert set(p.factor_sites) == {"soft", "tilt"}
+    assert p.latent_vars == ("z",)           # factors are NOT latents
+    assert p._prior_factors == ("tilt",)     # θ-only → prior too
+
+    th, zv = 0.4, np.linspace(0.2, 0.8, D6)
+    # independent closed form: sites + both factor terms
+    want = (_lnorm(th, 0.0, 3.0) + _lnorm(zv, th, 1.0)
+            + _lnorm(np.asarray(xv), zv, 1.0)
+            - 0.125 * float(np.sum(zv ** 2)) - 0.25 * th ** 2)
+    got = float(p.log_like({"x": xv}, {"z": jnp.asarray(zv)},
+                           {"theta": th}))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    want_prior = _lnorm(th, 0.0, 3.0) - 0.25 * th ** 2
+    assert float(p.log_prior({"theta": th})) == pytest.approx(
+        want_prior, rel=1e-5)
+
+    # factor names cannot be observed or hyper
+    with pytest.raises(ValueError, match="factor sites"):
+        na.NumpyroMuseProblem(model, observed={"x": xv, "soft": 1.0})
+    with pytest.raises(ValueError, match="factor sites"):
+        na.NumpyroMuseProblem(model, observed={"x": xv},
+                              params=("theta", "tilt"))
+
+
+def test_factor_not_inferred_as_root(stub, na):
+    """params=None graph-root inference must skip factor sites — a
+    constant or θ-only factor's density never moves under the parent
+    perturbation and would otherwise be classified as a hyper."""
+    npd = stub.distributions
+
+    def model():
+        mu = stub.sample("mu", npd.Normal(0.0, 2.0))
+        z = stub.sample("z", npd.Normal(mu, 1.0).expand((4,)))
+        stub.sample("x", npd.Normal(z, 0.5))
+        stub.factor("const_pen", jnp.asarray(-1.25))
+
+    p = na.NumpyroMuseProblem(model, observed={"x": jnp.zeros((4,))},
+                              params=None)
+    assert p.params == ("mu",)
+    assert p.factor_sites == ("const_pen",)
+
+
+def test_factor_parity_with_ppl_twin(stub, na):
+    """The adapter and the built-in PPL must assemble the SAME density
+    for twin models carrying the same factor terms."""
+    npd = stub.distributions
+    D6 = 6
+
+    def np_model():
+        theta = stub.sample("theta", npd.Normal(0.0, 3.0))
+        z = stub.sample("z", npd.Normal(theta, 1.0).expand((D6,)))
+        stub.sample("x", npd.Normal(z, 1.0))
+        stub.factor("soft", -0.125 * jnp.sum(z ** 2))
+
+    def ppl_model():
+        theta = ppl.sample("theta", MNormal(0.0, 3.0))
+        z = ppl.sample("z", MNormal(theta, 1.0).expand((D6,)))
+        ppl.sample("x", MNormal(z, 1.0))
+        ppl.factor("soft", -0.125 * jnp.sum(z ** 2))
+
+    xv = jnp.linspace(-1.0, 1.0, D6)
+    pa = na.NumpyroMuseProblem(np_model, observed={"x": xv})
+    pb = ppl.PPLMuseProblem(ppl_model, observed={"x": xv})
+    th, zv = 0.4, jnp.linspace(0.2, 0.8, D6)
+    la = float(pa.log_like({"x": xv}, {"z": zv}, {"theta": th}))
+    lb = float(pb.log_like({"x": xv}, {"z": zv}, {"theta": th}))
+    assert la == pytest.approx(lb, rel=1e-6)
+    # same generative draws (factors don't consume keys' randomness)
+    k = jax.random.PRNGKey(7)
+    xa, za = pa.sample_x_z(k, {"theta": 0.4})
+    xb, zb = pb.sample_x_z(k, {"theta": 0.4})
+    np.testing.assert_array_equal(np.asarray(xa["x"]), np.asarray(xb["x"]))
+    np.testing.assert_array_equal(np.asarray(za["z"]), np.asarray(zb["z"]))

@@ -429,3 +429,130 @@ def test_observed_value_broadcasting():
         ppl.PPLMuseProblem(m, observed={"x": jnp.zeros((2, N))})
     with pytest.raises(ValueError, match="does not broadcast"):
         ppl.PPLMuseProblem(m, observed={"x": jnp.zeros((N + 1,))})
+
+
+# ------------------------------------------------------------------ #
+# factor sites — ppl.factor (numpyro.factor / Turing @addlogprob!
+# analog; the reference ingests such terms through DynPPL.logjoint,
+# src/turing.jl:192-196)
+# ------------------------------------------------------------------ #
+
+def test_factor_enters_log_like_with_gradient():
+    W2 = 4.0
+    D8 = 8
+
+    def with_factor():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((D8,)))
+        ppl.sample("x", Normal(z, 1.0))
+        # placed LAST so the twin's sample sites keep the same seed
+        # indices (factor sites advance the per-site key counter)
+        ppl.factor("soft", -0.5 * jnp.sum(z ** 2) / W2)
+
+    def without():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((D8,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    x = jnp.linspace(-1.0, 1.0, D8)
+    pa = ppl.PPLMuseProblem(with_factor, observed={"x": x})
+    pb = ppl.PPLMuseProblem(without, observed={"x": x})
+    assert pa.factor_sites == ("soft",)
+    assert pa._prior_factors == ()          # depends on z → likelihood
+    assert pa.latent_vars == pb.latent_vars == ("z",)
+
+    zv = jnp.linspace(0.1, 0.9, D8)
+    th = 0.3
+    la = float(pa.log_like({"x": x}, {"z": zv}, th))
+    lb = float(pb.log_like({"x": x}, {"z": zv}, th))
+    assert la == pytest.approx(lb - 0.5 * float(jnp.sum(zv ** 2)) / W2,
+                               rel=1e-6)
+    ga = jax.grad(lambda z: pa.log_like({"x": x}, {"z": z}, th))(zv)
+    gb = jax.grad(lambda z: pb.log_like({"x": x}, {"z": z}, th))(zv)
+    np.testing.assert_allclose(np.asarray(ga - gb), -np.asarray(zv) / W2,
+                               rtol=1e-5, atol=1e-7)
+
+    # sampling ignores factors: bit-identical draws vs the twin
+    ka = jax.random.PRNGKey(3)
+    xa, za = pa.sample_x_z(ka, 0.3)
+    xb, zb = pb.sample_x_z(ka, 0.3)
+    np.testing.assert_array_equal(np.asarray(xa["x"]), np.asarray(xb["x"]))
+    np.testing.assert_array_equal(np.asarray(za["z"]), np.asarray(zb["z"]))
+
+
+def test_pure_theta_factor_routes_to_prior():
+    A = 0.125
+
+    def tilted():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((8,)))
+        ppl.sample("x", Normal(z, 1.0))
+        ppl.factor("tilt", -A * theta ** 2)
+
+    p = ppl.PPLMuseProblem(tilted, observed={"x": jnp.zeros((8,))})
+    assert p._prior_factors == ("tilt",)
+    th = 0.7
+    want = float(Normal(0.0, 3.0).log_prob(th)) - A * th ** 2
+    assert float(p.log_prior(th)) == pytest.approx(want, rel=1e-6)
+    # prior curvature sees the tilt: d²/dθ² = −1/9 − 2A
+    h = float(jax.hessian(lambda t: p.log_prior(t))(jnp.asarray(th)))
+    assert h == pytest.approx(-(1.0 / 9.0 + 2 * A), rel=1e-5)
+
+
+def test_theta_factor_end_to_end_matches_explicit_prior():
+    """A θ-tilt via factor must give the SAME posterior as folding the
+    tilt into the prior site: N(0,3) + exp(−Aθ²) ≡ N(0, σc) with
+    1/σc² = 1/9 + 2A (up to a θ-independent constant, which MUSE's
+    score/prior derivatives never see)."""
+    A = 0.125
+    Dz = 32
+    sc = (1.0 / 9.0 + 2 * A) ** -0.5
+
+    def via_factor():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((Dz,)))
+        ppl.sample("x", Normal(z, 1.0))
+        ppl.factor("tilt", -A * theta ** 2)
+
+    def explicit():
+        theta = ppl.sample("theta", Normal(0.0, sc))
+        z = ppl.sample("z", Normal(0.0, jnp.exp(theta / 2)).expand((Dz,)))
+        ppl.sample("x", Normal(z, 1.0))
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (Dz,))) * 1.2
+    kw = dict(nsims=16, maxsteps=20, theta_rtol=1e-3,
+              get_covariance=True, key=jax.random.PRNGKey(4))
+    ra = muse(ppl.PPLMuseProblem(via_factor, observed={"x": x}),
+              {"theta": 0.5}, **kw)
+    rb = muse(ppl.PPLMuseProblem(explicit, observed={"x": x}),
+              {"theta": 0.5}, **kw)
+    assert float(ra.theta[0]) == pytest.approx(float(rb.theta[0]),
+                                               abs=1e-4)
+    assert float(ra.sigma[0]) == pytest.approx(float(rb.sigma[0]),
+                                               rel=1e-3)
+
+
+def test_factor_guards():
+    def m():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        z = ppl.sample("z", Normal(theta, 1.0))
+        ppl.sample("x", Normal(z, 1.0))
+        ppl.factor("pen", -z ** 2)
+
+    # factor names cannot be conditioned or hyper
+    with pytest.raises(ValueError, match="factor sites"):
+        ppl.PPLMuseProblem(m, observed={"x": 0.0, "pen": 1.0})
+    with pytest.raises(ValueError, match="factor sites"):
+        ppl.PPLMuseProblem(m, observed={"x": 0.0},
+                           params=("theta", "pen"))
+
+    # factor inside a plate: numpyro would multiply-count it — refuse
+    def plated():
+        theta = ppl.sample("theta", Normal(0.0, 3.0))
+        with ppl.plate("i", 4):
+            z = ppl.sample("z", Normal(theta, 1.0))
+            ppl.factor("pen", -jnp.sum(z ** 2))
+        ppl.sample("x", Normal(jnp.sum(z), 1.0))
+
+    with pytest.raises(NotImplementedError, match="plate"):
+        ppl.PPLMuseProblem(plated, observed={"x": 0.0})
