@@ -556,3 +556,21 @@ def test_factor_guards():
 
     with pytest.raises(NotImplementedError, match="plate"):
         ppl.PPLMuseProblem(plated, observed={"x": 0.0})
+
+
+def test_factor_self_consistency_with_transformed_theta(x_obs):
+    """A θ-only factor on a positive-support hyper must keep the
+    volume-factor relations intact (check #2 sees the factor through
+    log_prior, check #3 through log_like; the bijector chain rule must
+    hold with BOTH contributions present)."""
+    def amp_model():
+        amp = ppl.sample("amp", LogNormal(0.0, 1.0))
+        z = ppl.sample("z", Normal(0.0, amp).expand((D,)))
+        ppl.sample("x", Normal(z, 1.0))
+        ppl.factor("tilt", -0.2 * (amp - 1.0) ** 2)
+
+    p = ppl.PPLMuseProblem(amp_model, observed={"x": x_obs},
+                           params=("amp",))
+    assert p.theta_bijector is not None
+    assert p._prior_factors == ("tilt",)
+    assert check_self_consistency(p, {"amp": 1.3})
