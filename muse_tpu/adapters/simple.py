@@ -51,7 +51,9 @@ class SimpleMuseProblem(MuseProblem):
                  volume_factor: bool = True,
                  zhat_guess_from_truth: Optional[Callable] = None,
                  custom_zhat=None,
-                 grad_theta_log_like: Optional[Callable] = None):
+                 grad_theta_log_like: Optional[Callable] = None,
+                 sample_white: Optional[Callable] = None,
+                 x_of_white: Optional[Callable] = None):
         self.x = x
         self._sample_x_z = sample_x_z
         self._log_like = log_like
@@ -63,6 +65,11 @@ class SimpleMuseProblem(MuseProblem):
         # optional analytic ∂θ log_like (∇θ_logLike override analog,
         # src/interface.jl:56-58); None ⇒ derived via jax.grad
         self.grad_theta_log_like = grad_theta_log_like
+        # optional CRN white-noise split of the sampler (problem.py:
+        # sample_x_z(key, θ) ≡ x_of_white(sample_white(key), θ)) — lets
+        # the muse loop hoist the RNG out of the outer iteration
+        self.sample_white = sample_white
+        self.x_of_white = x_of_white
 
     def sample_x_z(self, key, theta):
         return self._sample_x_z(key, theta)

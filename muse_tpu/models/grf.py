@@ -240,12 +240,20 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
     else:
         stage_full = stage_packed = stage_lane = lambda a: a
 
-    def sample_x_z(key, theta):
+    # CRN white split (problem.py ``sample_white``/``x_of_white``): the
+    # pixel whites are θ-independent, so the muse loop hoists the RNG out
+    # of the outer iteration (the θ-dependent √C FFT scaling stays).
+    def sample_white(key):
         k1, k2 = jax.random.split(key)
-        u = jax.random.normal(k1, (n, n))
-        x = cfg.apply_sqrtC(u, theta) + cfg.sigma_noise * \
-            jax.random.normal(k2, (n, n))
-        return x, u
+        return (jax.random.normal(k1, (n, n)),
+                jax.random.normal(k2, (n, n)))
+
+    def x_of_white(W, theta):
+        u, e = W
+        return cfg.apply_sqrtC(u, theta) + cfg.sigma_noise * e, u
+
+    def sample_x_z(key, theta):
+        return x_of_white(sample_white(key), theta)
 
     def log_like(x, u, theta):
         r = x - cfg.apply_sqrtC(u, theta)
@@ -382,7 +390,9 @@ def grf_problem(config: Optional[GrfConfig] = None, *, n: int = 256,
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              custom_zhat=custom,
-                             grad_theta_log_like=grad_theta)
+                             grad_theta_log_like=grad_theta,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
     prob.grf_config = cfg
     # matmul mode has no backend-fft op, so the fused-FFT integrity
     # self-check does not apply there
@@ -527,28 +537,43 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
         # the muse iteration itself — XLA dead-code-eliminates the second
         # draw and the sampling cost HALVES (measured 52.7 → 26 ms of the
         # 59 ms 1024²×100 step; RNG is the dominant kernel there).
-        def sample_x_z(key, theta):
+        def sample_white(key):
             k1, k2 = jax.random.split(key)
+            return _herm_white(k1), _herm_white(k2)
+
+        def x_of_white(W, theta):
+            w1, w2 = W
             C2 = _C2(theta)
             D = C2 + s2
-            xt = jnp.sqrt(D) * _herm_white(k1)
-            ut = (jnp.sqrt(C2) / D) * xt + jnp.sqrt(s2 / D) * \
-                _herm_white(k2)
+            xt = jnp.sqrt(D) * w1
+            ut = (jnp.sqrt(C2) / D) * xt + jnp.sqrt(s2 / D) * w2
             return xt, ut
     elif noise == "direct":
-        def sample_x_z(key, theta):
+        def sample_white(key):
             k1, k2 = jax.random.split(key)
-            ut = _herm_white(k1)
-            xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * \
-                _herm_white(k2)
+            return _herm_white(k1), _herm_white(k2)
+
+        def x_of_white(W, theta):
+            ut, et = W
+            xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * et
             return xt, ut
     else:
-        def sample_x_z(key, theta):
+        def sample_white(key):
+            # the rfft2 passes are θ-independent too: hoisting removes
+            # the iteration's only FFT-sized kernels in this mode
             k1, k2 = jax.random.split(key)
-            ut = _pack1(jnp.fft.rfft2(jax.random.normal(k1, (n, n))))
-            nt = _pack1(jnp.fft.rfft2(jax.random.normal(k2, (n, n))))
+            return (_pack1(jnp.fft.rfft2(jax.random.normal(k1, (n, n)))),
+                    _pack1(jnp.fft.rfft2(jax.random.normal(k2, (n, n)))))
+
+        def x_of_white(W, theta):
+            ut, nt = W
             xt = jnp.sqrt(_C2(theta)) * ut + cfg.sigma_noise * nt
             return xt, ut
+
+    def sample_x_z(key, theta):
+        # single source of truth: the CRN stream of every noise mode is
+        # exactly the white split composed (problem.py contract)
+        return x_of_white(sample_white(key), theta)
 
     def log_like(xt, ut, theta):
         r = xt - jnp.sqrt(_C2(theta)) * ut
@@ -616,7 +641,9 @@ def grf_spectral_problem(config: Optional[GrfConfig] = None, *,
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              custom_zhat=custom,
-                             grad_theta_log_like=grad_theta)
+                             grad_theta_log_like=grad_theta,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
     prob.grf_config = cfg
     prob.x_real = unpack_field(x_obs)     # for closed-form oracles
     prob.pack_field = pack_field

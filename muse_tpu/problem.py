@@ -134,6 +134,27 @@ class MuseProblem:
     # silently trusting the odd-lane rule on an untested backend.
     fft_grid = None
 
+    # Optional CRN white-noise split of the forward sampler — a TPU-first
+    # optimization with no reference analog (the reference re-runs each
+    # sim's full sampler at every outer iteration with the same seed,
+    # src/muse.jl:169-170; under common random numbers the θ-independent
+    # randomness is ITERATION-INVARIANT, so it can be drawn once and
+    # reused).  A problem that can factor its sampler as
+    #
+    #   sample_x_z(key, θ) ≡ x_of_white(sample_white(key), θ)
+    #
+    # declares the pair here: ``sample_white(key) -> W`` draws every
+    # θ-independent random intermediate (any pytree), and
+    # ``x_of_white(W, θ) -> (x, z)`` deterministically completes the
+    # sample.  The muse iteration loop then hoists ``sample_white`` out
+    # of the outer loop entirely — at 1024²×100 sims the RNG is the
+    # dominant kernel of the iteration, so this is a large per-iteration
+    # win.  The equivalence above is a hard contract (CRN correctness and
+    # the runtime value-certification probes both rely on it);
+    # ``check_self_consistency`` verifies it when the hooks are present.
+    sample_white = None
+    x_of_white = None
+
 
 def check_self_consistency(problem: MuseProblem, theta, *, key=None,
                            atol=1e-2, eps=1e-3, dtype=jnp.float32):
@@ -210,6 +231,25 @@ def check_self_consistency(problem: MuseProblem, theta, *, key=None,
         if not err < fd_atol:
             failures.append(
                 f"∇z AD vs FD [coord {i}]: err {err:.3e} (fd_atol {fd_atol:.3e})")
+
+    # 5. CRN white-noise split (when declared): the hoisted sampler must
+    # reproduce sample_x_z exactly — the solver's white-hoisted iteration
+    # path and the value-certification probes both rely on it.
+    if problem.x_of_white is not None or problem.sample_white is not None:
+        if problem.x_of_white is None or problem.sample_white is None:
+            failures.append("sample_white/x_of_white must be declared "
+                            "together (one of them is None)")
+        else:
+            W = problem.sample_white(key)
+            xw, zw = problem.x_of_white(W, spec.unflatten(th))
+            for name, a, b in (("x", x, xw), ("z", z, zw)):
+                la, _ = ravel_pytree(a)
+                lb, _ = ravel_pytree(b)
+                err = float(jnp.max(jnp.abs(la - lb))) if la.size else 0.0
+                if not err < atol:
+                    failures.append(
+                        f"white-split {name}: x_of_white(sample_white(key), θ)"
+                        f" differs from sample_x_z(key, θ) by {err:.3e}")
 
     if failures:
         raise AssertionError("self-consistency failures:\n  " +

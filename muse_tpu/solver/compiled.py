@@ -158,6 +158,27 @@ class CompiledProblem:
     # jitted entry points
     # ------------------------------------------------------------ #
 
+    def _step_from_xs(self, xs_all, th, th_t, Z_prev, lane_ids, atol):
+        """Shared muse-step tail: data-lane mix-in, lockstep MAP solves,
+        per-lane θ-gradients in both spaces (src/muse.jl:169-181)."""
+        lane = lane_ids
+
+        def mix(o, s):
+            m = (lane == 0).reshape((-1,) + (1,) * (s.ndim - 1))
+            return jnp.where(m, o[None].astype(s.dtype), s)
+
+        xs = jax.tree.map(mix, self.x_obs, xs_all)
+        Z, aux = self._solve_maps(xs, Z_prev, th, atol)
+        g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
+        if self.problem.theta_bijector is None:
+            # identity transform ⇒ the two θ-space gradients coincide
+            # (src/muse.jl:172-173 collapses); skip half the AD work
+            g_t = g
+        else:
+            g_t = jax.vmap(lambda x, z: jax.grad(
+                lambda tt: self._ll_t(x, z, tt))(th_t))(xs, Z)
+        return {"g": g, "g_t": g_t, "Z": Z, **aux}
+
     @functools.cached_property
     def muse_step(self):
         """(th, th_t, keys, Z_prev, atol) -> dict.
@@ -177,23 +198,42 @@ class CompiledProblem:
             # (src/muse.jl's whole-sims pmap has no such need; a 513-lane
             # 1024² batch exceeds one chip's HBM).
             xs_all, _ = self._sample_batch(keys_all, th)
-            lane = lane_ids
+            return self._step_from_xs(xs_all, th, th_t, Z_prev, lane_ids,
+                                      atol)
+        return jax.jit(step)
 
-            def mix(o, s):
-                m = (lane == 0).reshape((-1,) + (1,) * (s.ndim - 1))
-                return jnp.where(m, o[None].astype(s.dtype), s)
+    # ------------------------------------------------------------ #
+    # CRN white-hoisted iteration path (problem.sample_white /
+    # x_of_white; no reference analog — src/muse.jl:169-170 re-runs
+    # every sim's full sampler each outer iteration)
+    # ------------------------------------------------------------ #
 
-            xs = jax.tree.map(mix, self.x_obs, xs_all)
-            Z, aux = self._solve_maps(xs, Z_prev, th, atol)
-            g = jax.vmap(lambda x, z: self._grad_th(x, z, th))(xs, Z)
-            if self.problem.theta_bijector is None:
-                # identity transform ⇒ the two θ-space gradients coincide
-                # (src/muse.jl:172-173 collapses); skip half the AD work
-                g_t = g
-            else:
-                g_t = jax.vmap(lambda x, z: jax.grad(
-                    lambda tt: self._ll_t(x, z, tt))(th_t))(xs, Z)
-            return {"g": g, "g_t": g_t, "Z": Z, **aux}
+    @functools.cached_property
+    def sample_whites(self):
+        """keys -> batched θ-independent CRN draws (one pytree with a
+        leading lane axis).  Run ONCE per fit; its output feeds every
+        outer iteration's :meth:`muse_step_white`."""
+        return jax.jit(jax.vmap(self.problem.sample_white))
+
+    @functools.cached_property
+    def muse_step_white(self):
+        """muse_step with the RNG hoisted: takes the per-lane white draws
+        W_all (from :meth:`sample_whites`) instead of keys, completing
+        the samples with the θ-dependent ``x_of_white`` only.  Identical
+        outputs to :meth:`muse_step` under the problem.py white-split
+        contract."""
+        def step(th, th_t, W_all, Z_prev, lane_ids, atol):
+            def one(W):
+                x, z = self.problem.x_of_white(W, self.spec.unflatten(th))
+                zf, _ = ravel_pytree(z)
+                return x, zf.astype(self.dtype)
+
+            # same fusion barrier as _sample_batch: the completed fields
+            # must materialize before downstream FFT consumers (the
+            # fused-chain miscompile family, _sample_batch docstring)
+            xs_all, _ = jax.lax.optimization_barrier(jax.vmap(one)(W_all))
+            return self._step_from_xs(xs_all, th, th_t, Z_prev, lane_ids,
+                                      atol)
         return jax.jit(step)
 
     @functools.cached_property

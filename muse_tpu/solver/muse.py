@@ -104,6 +104,7 @@ def muse_fit(
     compiled: Optional[CompiledProblem] = None,
     profile_dir: Optional[str] = None,
     certify="auto",
+    hoist_sampling: bool = True,
 ) -> MuseResult:
     """Run/resume the MUSE iteration on ``result`` (``muse!`` analog).
 
@@ -133,6 +134,16 @@ def muse_fit(
                      re-run lane-wise and future chunks are routed to a
                      smaller width, so results stay correct (slower);
                      the warning says which width failed.
+      hoist_sampling — when the problem declares the CRN white split
+                     (``sample_white``/``x_of_white``, problem.py), draw
+                     the θ-independent randomness ONCE before the loop
+                     and run the hoisted iteration step; under common
+                     random numbers this is exactly the keyed path's
+                     math with the RNG lifted out of the hot loop (the
+                     reference re-samples every iteration,
+                     src/muse.jl:169-170).  False forces per-iteration
+                     sampling (the certification fallback always uses
+                     the keyed B=1 program either way).
     """
     if Hinv_update not in ("sims", "broyden", "diagonal_broyden"):
         raise ValueError(f"invalid Hinv_update={Hinv_update!r}")
@@ -221,8 +232,16 @@ def muse_fit(
             ls.append(lc)
         return bounds, ks, zs, ls
 
+    use_white = bool(hoist_sampling) and problem.x_of_white is not None
+
+    def make_whites(ks):
+        """Hoisted CRN draws per chunk (problem.sample_white batched);
+        computed once per chunking — every outer iteration reuses them."""
+        return [comp.sample_whites(kc) for kc in ks] if use_white else None
+
     bounds, keys_chunks, Z_chunks, lane_chunks = make_chunks(
         lambda s0, e0: jnp.broadcast_to(z0_flat, (e0 - s0, comp.nz)))
+    W_chunks = make_whites(keys_chunks)
 
     pbar = ProgressReporter(maxsteps - len(history), "MUSE",
                             enabled=progress)
@@ -262,6 +281,7 @@ def muse_fit(
                      for ci, (s0, e0) in enumerate(bounds)])
                 bounds, keys_chunks, Z_chunks, lane_chunks = make_chunks(
                     lambda s0, e0: Z_full[s0:e0])
+                W_chunks = make_whites(keys_chunks)
                 rebuild = False
 
             th_dev = jnp.asarray(th, dtype)
@@ -281,8 +301,13 @@ def muse_fit(
                                          lc, c, atol_dev)
                     rebuild = True
                 else:
-                    out = comp.muse_step(th_dev, th_t_dev,
-                                         kc, Z_prev_c, lc, atol_dev)
+                    if use_white:
+                        out = comp.muse_step_white(th_dev, th_t_dev,
+                                                   W_chunks[ci], Z_prev_c,
+                                                   lc, atol_dev)
+                    else:
+                        out = comp.muse_step(th_dev, th_t_dev,
+                                             kc, Z_prev_c, lc, atol_dev)
                     if (certifier is not None
                             and certifier.should_probe("muse_step", width)):
                         lanes = certifier.probe_lane_set("muse_step",
