@@ -102,8 +102,15 @@ def build(n_grid, nsims, seed=0, model="grf", noise=None, nbands=12):
     return comp, th, keys_all, Z, lane_ids, atol
 
 
+def _pad_W(W_all, sl, w):
+    """Slice+pad one chunk of the hoisted white draws (a pytree with a
+    leading lane axis, problem.sample_white)."""
+    from muse_tpu.utils.fft_check import pad_lanes_to
+    return jax.tree.map(lambda a: pad_lanes_to(a[sl], w), W_all)
+
+
 def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3,
-              max_batch=None):
+              max_batch=None, W_all=None):
     """Median of per-call walls, every output blocked.
 
     Blocking the WHOLE output (not one leaf) and taking the median of
@@ -119,24 +126,33 @@ def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3,
     LOSES to small widths (the FFT-saturated 1024² regime) or where a
     width is routed around by value-integrity certification
     (solver/certify.py — pick a width from the certified-width table
-    in BENCHMARKS.md)."""
+    in BENCHMARKS.md).
+
+    ``W_all`` (hoisted CRN white draws from ``comp.sample_whites``)
+    switches the timed program to ``muse_step_white`` — the iteration
+    muse_fit actually runs when the problem declares the white split
+    (problem.py): the θ-independent RNG is drawn once per fit, so the
+    steady-state per-iteration wall excludes it."""
     n = keys_all.shape[0]
     if max_batch is None or max_batch >= n:
-        chunks = [(keys_all, Z, lane_ids)]
+        chunks = [(keys_all if W_all is None
+                   else _pad_W(W_all, slice(0, n), n), Z, lane_ids)]
     else:
         from muse_tpu.utils.fft_check import pad_lanes_to
         w = max_batch
-        chunks = [(pad_lanes_to(keys_all[i:i + w], w),
+        chunks = [((pad_lanes_to(keys_all[i:i + w], w) if W_all is None
+                    else _pad_W(W_all, slice(i, i + w), w)),
                    pad_lanes_to(Z[i:i + w], w),
                    pad_lanes_to(lane_ids[i:i + w], w))
                   for i in range(0, n, w)]
+    step = comp.muse_step if W_all is None else comp.muse_step_white
     for kc, zc, lc in chunks:                       # compile + warm
-        jax.block_until_ready(comp.muse_step(th, th, kc, zc, lc, atol))
+        jax.block_until_ready(step(th, th, kc, zc, lc, atol))
     walls = []
     for _ in range(max(reps, 3)):
         t0 = time.perf_counter()
         for kc, zc, lc in chunks:
-            out = comp.muse_step(th, th, kc, zc, lc, atol)
+            out = step(th, th, kc, zc, lc, atol)
             jax.block_until_ready(out)
         walls.append(time.perf_counter() - t0)
     walls.sort()
@@ -144,7 +160,7 @@ def time_step(comp, th, keys_all, Z, lane_ids, atol, reps=3,
 
 
 def certify_timed_step(comp, th, keys_all, Z, lane_ids, atol,
-                       max_batch=None):
+                       max_batch=None, W_all=None):
     """Value-certify the EXACT (program, width) being timed.
 
     Round-5 closure of "the headline bench paths run uncertified": the
@@ -169,7 +185,14 @@ def certify_timed_step(comp, th, keys_all, Z, lane_ids, atol,
     zc = pad_lanes_to(Z[:w], w)
     lc = pad_lanes_to(lane_ids[:w], w)
     cert = comp.certifier
-    out = comp.muse_step(th, th, kc, zc, lc, atol)
+    if W_all is None:
+        out = comp.muse_step(th, th, kc, zc, lc, atol)
+    else:
+        # certify the white-hoisted program (the one being timed): the
+        # B=1 probe re-solves stay KEYED, so this also cross-checks the
+        # problem.py white-split contract on real lanes
+        out = comp.muse_step_white(th, th, _pad_W(W_all, slice(0, w), w),
+                                   zc, lc, atol)
     cert.should_probe("muse_step", w)      # advance the rotation counter
     lanes = cert.probe_lane_set("muse_step", w, min(w, n))
     kc_h = jnp.asarray(jax.device_get(kc))
@@ -234,6 +257,10 @@ def main():
                     help="time the iteration chunked at this lane width "
                          "(the solver's max_batch execution model)")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-hoist", action="store_true",
+                    help="time the keyed muse_step even when the problem "
+                         "declares the CRN white split (muse_fit's "
+                         "hoist_sampling=False path)")
     ap.add_argument("--baseline-lanes", type=int, default=8,
                     help="distinct sims measured one-at-a-time for the "
                          "sequential baseline")
@@ -257,18 +284,25 @@ def main():
                                                   model=args.model,
                                                   nbands=args.nbands)
 
+    # hoisted CRN white draws (problem.sample_white): muse_fit's default
+    # iteration program when the problem declares the split — drawn once
+    # per fit, so the steady-state per-iteration wall excludes the RNG
+    W_all = None
+    if not args.no_hoist and comp.problem.x_of_white is not None:
+        W_all = jax.block_until_ready(comp.sample_whites(keys_all))
+
     # value-certify the exact (program, width) about to be timed — a
     # bench row on a platform with measured batch-width miscompiles is
     # only honest if the timed program computes real values
     certified = certify_timed_step(comp, th, keys_all, Z, lane_ids, atol,
-                                   max_batch=args.max_batch)
+                                   max_batch=args.max_batch, W_all=W_all)
     if not certified:
         print(f"# WARNING: certification FAILED for model={args.model} "
               f"at the timed width — this row times corrupt work",
               file=sys.stderr, flush=True)
 
     batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
-                          max_batch=args.max_batch)
+                          max_batch=args.max_batch, W_all=W_all)
 
     # Honest sequential baseline: a real one-sim-at-a-time loop over
     # ≥8 distinct sims, ≥3 passes, spread recorded (VERDICT r1 item 10).
@@ -280,14 +314,24 @@ def main():
     # so batched < per-sim wall means the measurement was an artifact
     # (dispatch-only timing / worker restart) — re-measure once, and if
     # the artifact persists, publish the floor itself with a flag rather
-    # than a physically impossible speedup
+    # than a physically impossible speedup.  Under white-hoisting the
+    # batched step legitimately does LESS work than the keyed B=1 step
+    # (no RNG), so the floor must be a B=1 run of the SAME hoisted
+    # program (a sim lane, not the data lane).
+    if W_all is None:
+        floor_one = seq_one
+    else:
+        floor_one = time_step(
+            comp, th, keys_all[1:2], Z[1:2], lane_ids[1:2], atol,
+            W_all=jax.tree.map(lambda a: a[1:2], W_all))
     floor_violation = False
-    if batched_s < seq_one:
+    if batched_s < floor_one:
         batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
-                              reps=5, max_batch=args.max_batch)
-        if batched_s < seq_one:
+                              reps=5, max_batch=args.max_batch,
+                              W_all=W_all)
+        if batched_s < floor_one:
             floor_violation = True
-            batched_s = seq_one
+            batched_s = floor_one
     seq_total = seq_one * (args.nsims + 1)
 
     suffix = ("" if args.model == "grf"
@@ -302,6 +346,8 @@ def main():
         "baseline_spread": round(seq_spread, 3),
         "certified": certified,
     }
+    if W_all is not None:
+        result["hoisted_crn"] = True
     if args.max_batch is not None:
         result["max_batch"] = args.max_batch
     if args.model == "bandpower":

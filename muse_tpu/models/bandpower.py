@@ -124,12 +124,20 @@ def bandpower_problem(n: int = 64, nbands: int = 8, *,
     else:
         stage = lambda a: a
 
-    def sample_x_z(key, theta):
+    # CRN white split (problem.py): both hermitian whites are
+    # θ-independent, so the muse loop hoists the RNG out of the
+    # iteration — only the √C(θ) scaling re-runs per step
+    def sample_white(key):
         k1, k2 = jax.random.split(key)
-        ut = hermitian_white_packed(k1, n)
-        xt = jnp.sqrt(_C2(theta)) * ut + sigma_noise * \
-            hermitian_white_packed(k2, n)
-        return xt, ut
+        return (hermitian_white_packed(k1, n),
+                hermitian_white_packed(k2, n))
+
+    def x_of_white(W, theta):
+        ut, et = W
+        return jnp.sqrt(_C2(theta)) * ut + sigma_noise * et, ut
+
+    def sample_x_z(key, theta):
+        return x_of_white(sample_white(key), theta)
 
     def log_like(xt, ut, theta):
         r = xt - jnp.sqrt(_C2(theta)) * ut
@@ -191,7 +199,9 @@ def bandpower_problem(n: int = 64, nbands: int = 8, *,
 
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              custom_zhat=custom,
-                             grad_theta_log_like=grad_theta)
+                             grad_theta_log_like=grad_theta,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
     prob.grf_config = cfg
     prob.nbands = nbands
     prob.band_edges = edges

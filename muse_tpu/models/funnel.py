@@ -30,11 +30,20 @@ def funnel_problem(dim: int = 512, *, x_obs=None, theta_true: float = 0.0,
                    data_key=None, prior_std: float = 3.0) -> SimpleMuseProblem:
     """Scalar-θ noisy funnel (reference src/simple.jl:56-77)."""
 
-    def sample_x_z(key, theta):
+    # CRN white split (problem.py): only the exp(θ/2) scale re-runs per
+    # muse iteration; the normals are hoisted out of the loop
+    def sample_white(key):
         k1, k2 = jax.random.split(key)
-        z = jnp.exp(theta / 2) * jax.random.normal(k1, (dim,))
-        x = z + jax.random.normal(k2, (dim,))
-        return x, z
+        return (jax.random.normal(k1, (dim,)),
+                jax.random.normal(k2, (dim,)))
+
+    def x_of_white(W, theta):
+        w1, w2 = W
+        z = jnp.exp(theta / 2) * w1
+        return z + w2, z
+
+    def sample_x_z(key, theta):
+        return x_of_white(sample_white(key), theta)
 
     def log_like(x, z, theta):
         return -0.5 * (jnp.sum((x - z) ** 2)
@@ -47,7 +56,9 @@ def funnel_problem(dim: int = 512, *, x_obs=None, theta_true: float = 0.0,
         data_key = jax.random.PRNGKey(42) if data_key is None else data_key
         x_obs, _ = sample_x_z(data_key, theta_true)
 
-    return SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior)
+    return SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
 
 
 def vector_funnel_problem(dim: int = 256, blocks: int = 4, *, x_obs=None,
@@ -63,11 +74,18 @@ def vector_funnel_problem(dim: int = 256, blocks: int = 4, *, x_obs=None,
     def block_scales(theta):
         return jnp.repeat(jnp.exp(theta / 2), bs)
 
-    def sample_x_z(key, theta):
+    def sample_white(key):
         k1, k2 = jax.random.split(key)
-        z = block_scales(theta) * jax.random.normal(k1, (dim,))
-        x = z + jax.random.normal(k2, (dim,))
-        return x, z
+        return (jax.random.normal(k1, (dim,)),
+                jax.random.normal(k2, (dim,)))
+
+    def x_of_white(W, theta):
+        w1, w2 = W
+        z = block_scales(theta) * w1
+        return z + w2, z
+
+    def sample_x_z(key, theta):
+        return x_of_white(sample_white(key), theta)
 
     def log_like(x, z, theta):
         inv_var = jnp.repeat(jnp.exp(-theta), bs)
@@ -84,7 +102,9 @@ def vector_funnel_problem(dim: int = 256, blocks: int = 4, *, x_obs=None,
         data_key = jax.random.PRNGKey(42) if data_key is None else data_key
         x_obs, _ = sample_x_z(data_key, jnp.asarray(theta_true))
 
-    return SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior)
+    return SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
 
 
 def funnel_analytic_H(theta0: float, dim: int) -> float:

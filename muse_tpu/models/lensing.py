@@ -270,13 +270,23 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
         g1 = jnp.sum(r * F) / (2 * s2)
         return jnp.array([g0, g1])
 
-    def sample_x_z(key, theta):
+    # CRN white split (problem.py): the latents ARE whitened fields here,
+    # so every draw is θ-independent — hoisting lifts all three RNG
+    # kernels out of the muse loop; only the θ-dependent lens forward
+    # re-runs per iteration
+    def sample_white(key):
         k1, k2, k3 = jax.random.split(key, 3)
-        uz = jax.random.normal(k1, (n, n))
-        uphi = jax.random.normal(k2, (n, n))
-        x = (_forward(uz, uphi, theta)
-             + sigma_noise * jax.random.normal(k3, (n, n)))
+        return (jax.random.normal(k1, (n, n)),
+                jax.random.normal(k2, (n, n)),
+                jax.random.normal(k3, (n, n)))
+
+    def x_of_white(W, theta):
+        uz, uphi, e = W
+        x = _forward(uz, uphi, theta) + sigma_noise * e
         return x, {"uphi": uphi, "uz": uz}
+
+    def sample_x_z(key, theta):
+        return x_of_white(sample_white(key), theta)
 
     def log_like(x, u, theta):
         r = x - _forward(u["uz"], u["uphi"], theta)
@@ -571,7 +581,9 @@ def lensing_problem(n: int = 64, *, sigma_noise: float = 0.2,
     prob = SimpleMuseProblem(x_obs, sample_x_z, log_like, log_prior,
                              zhat_guess_from_truth=zhat_guess,
                              custom_zhat=custom,
-                             grad_theta_log_like=grad_theta)
+                             grad_theta_log_like=grad_theta,
+                             sample_white=sample_white,
+                             x_of_white=x_of_white)
     prob.lensing_n = n
     prob.fft_grid = n
     # resolved budgets, inspectable (the n-dependent defaults are policy

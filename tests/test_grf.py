@@ -465,3 +465,92 @@ def test_spectral_marginal_end_to_end():
     sg = float(np.atleast_1d(res.sigma)[0])
     assert abs(th - mle) < 3 * fsig / np.sqrt(60)
     assert 0.8 < sg / fsig < 1.25
+
+
+# --------------------------------------------------------------------- #
+# CRN white-noise hoisting (problem.sample_white/x_of_white; no
+# reference analog — src/muse.jl:169-170 re-runs each sim's full
+# sampler every outer iteration, here the θ-independent draws are
+# lifted out of the loop)
+# --------------------------------------------------------------------- #
+
+
+def test_white_split_hoisted_muse_matches_keyed(prob):
+    """muse_fit's default white-hoisted iteration (muse_step_white) must
+    reproduce the keyed path: identical CRN draws by the problem.py
+    contract, so θ̂ and the per-iteration history must agree to
+    program-roundoff."""
+    kw = dict(nsims=12, maxsteps=8, theta_rtol=1e-3, grad_z_atol=1e-3,
+              key=jax.random.PRNGKey(7))
+    r_hoist = muse(prob, 0.5, hoist_sampling=True, **kw)
+    r_keyed = muse(prob, 0.5, hoist_sampling=False, **kw)
+    assert len(r_hoist.history) == len(r_keyed.history)
+    # the two jit programs fuse differently, so float32 MAP trajectories
+    # agree only to iterated roundoff (measured ~4e-6 absolute on θ)
+    np.testing.assert_allclose(np.asarray(r_hoist.theta),
+                               np.asarray(r_keyed.theta),
+                               rtol=1e-3, atol=1e-4)
+    for h1, h2 in zip(r_hoist.history, r_keyed.history):
+        np.testing.assert_allclose(np.asarray(h1["g_post_t"]),
+                                   np.asarray(h2["g_post_t"]),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_white_split_hoisted_spectral_all_noise_modes():
+    """Every spectral-GRF noise mode declares the split; hoisted ≡ keyed
+    on the whole fit for each."""
+    from muse_tpu.models.grf import grf_spectral_problem
+
+    for noise in ("marginal", "direct", "fft"):
+        p = grf_spectral_problem(n=16, noise=noise,
+                                 data_key=jax.random.PRNGKey(3))
+        kw = dict(nsims=8, maxsteps=5, theta_rtol=1e-3,
+                  key=jax.random.PRNGKey(2))
+        th1 = muse(p, 0.4, hoist_sampling=True, **kw).theta
+        th2 = muse(p, 0.4, hoist_sampling=False, **kw).theta
+        np.testing.assert_allclose(np.asarray(th1), np.asarray(th2),
+                                   rtol=1e-5, atol=1e-6, err_msg=noise)
+
+
+def test_white_split_contract_checked():
+    """check_self_consistency must (a) verify the hoisting identity
+    sample_x_z(key,θ) == x_of_white(sample_white(key),θ) and reject a
+    problem whose split disagrees with its sampler, and (b) reject a
+    half-declared pair."""
+    from muse_tpu.adapters.simple import SimpleMuseProblem
+    from muse_tpu.distributions import Normal
+
+    def sample_x_z(key, theta):
+        k1, k2 = jax.random.split(key)
+        z = jax.random.normal(k1, (8,))
+        x = theta * z + jax.random.normal(k2, (8,))
+        return x, z
+
+    def sample_white(key):
+        k1, k2 = jax.random.split(key)
+        return jax.random.normal(k1, (8,)), jax.random.normal(k2, (8,))
+
+    def log_like(x, z, theta):
+        return (jnp.sum(Normal(theta * z, 1.0).log_prob(x))
+                + jnp.sum(Normal(0.0, 1.0).log_prob(z)))
+
+    x0 = sample_x_z(jax.random.PRNGKey(0), 0.7)[0]
+
+    def mk(x_of_white=None, sample_white_fn=None):
+        return SimpleMuseProblem(
+            x0, sample_x_z, log_like, lambda th: 0.0,
+            sample_white=sample_white_fn, x_of_white=x_of_white)
+
+    # consistent split passes
+    good = mk(lambda W, th: (th * W[0] + W[1], W[0]), sample_white)
+    assert check_self_consistency(good, 0.7)
+
+    # wrong completion (swapped whites) must fail with the contract name
+    bad = mk(lambda W, th: (th * W[1] + W[0], W[1]), sample_white)
+    with pytest.raises(AssertionError, match="white-split"):
+        check_self_consistency(bad, 0.7)
+
+    # half-declared pair must fail
+    half = mk(None, sample_white)
+    with pytest.raises(AssertionError, match="declared together"):
+        check_self_consistency(half, 0.7)
