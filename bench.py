@@ -230,13 +230,17 @@ def time_sequential_baseline(n_grid, model, nlanes=8, reps=3, nbands=12):
     Z1 = Z[:1]
     comp.muse_step(th, th, ks[0], Z1, one, atol)  # compile once (B=1)
     for k in ks:                                  # untimed warm pass
-        jax.block_until_ready(comp.muse_step(th, th, k, Z1, one, atol)["g"])
+        jax.block_until_ready(comp.muse_step(th, th, k, Z1, one, atol))
     pass_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for k in ks:
+            # block the WHOLE output, not one leaf — the tunneled runtime
+            # has returned from a one-leaf block before the program ran
+            # (measured: a 1024² lensing baseline "timed" at 0.1 ms/sim,
+            # pure dispatch), the same hazard time_step guards against
             out = comp.muse_step(th, th, k, Z1, one, atol)
-            jax.block_until_ready(out["g"])
+            jax.block_until_ready(out)
         pass_times.append(time.perf_counter() - t0)
     per_sim = [t / nlanes for t in pass_times]
     mean = sum(per_sim) / len(per_sim)
@@ -324,6 +328,18 @@ def main():
         floor_one = time_step(
             comp, th, keys_all[1:2], Z[1:2], lane_ids[1:2], atol,
             W_all=jax.tree.map(lambda a: a[1:2], W_all))
+    baseline_artifact = False
+    if W_all is not None and seq_one < floor_one:
+        # the keyed B=1 baseline does strictly MORE work than the hoisted
+        # B=1 step (it also runs the RNG), so a smaller wall means the
+        # baseline measurement hit the dispatch artifact — re-measure
+        # once, then flag and clamp rather than publish a fake speedup
+        seq_one, seq_spread = time_sequential_baseline(
+            args.grid, args.model, nlanes=max(8, args.baseline_lanes),
+            nbands=args.nbands)
+        if seq_one < floor_one:
+            baseline_artifact = True
+            seq_one = floor_one
     floor_violation = False
     if batched_s < floor_one:
         batched_s = time_step(comp, th, keys_all, Z, lane_ids, atol,
@@ -354,6 +370,10 @@ def main():
         result["nbands"] = args.nbands
     if floor_violation:
         result["floor_violation"] = True   # batched clamped to the floor
+    if baseline_artifact:
+        # baseline clamped UP to the hoisted B=1 floor: vs_baseline is a
+        # lower bound, not a measurement
+        result["baseline_artifact"] = True
     print(json.dumps(result))
 
 
